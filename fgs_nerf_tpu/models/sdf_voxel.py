@@ -1,0 +1,633 @@
+"""The SDF voxel renderer — TPU-native equivalent of the reference
+``nerf`` module (`model/nerf.py:22-1170`).
+
+Design (vs the reference's ragged CUDA pipeline):
+
+* One static ``[n_rays, s_max]`` sample lattice per stage; every
+  point-dropping mechanism of the reference (bbox mask, MaskCache,
+  incremental-voxel mask, ``fast_color_thres`` on alpha and on weights)
+  becomes a boolean lattice mask.  A masked sample has alpha forced to
+  zero and therefore contributes nothing to the transmittance scan or
+  any composite — the exact semantics of removal from the ragged
+  stream.
+* Rendering is two-pass: pass 1 touches every lattice slot but only
+  with cheap field lookups (SDF + gradient -> alpha -> weights); pass 2
+  gathers the top-``shade_k`` surviving samples per ray (order is
+  irrelevant once weights are fixed, because compositing is a weighted
+  sum) and runs the feature taps + MLP shading only on those.  With
+  ``shade_k == 0`` shading runs dense over the lattice (golden path for
+  tests).
+* All per-step grid preprocessing (gaussian smoothing, whole-grid SDF
+  gradients) happens inside the jitted step, matching the reference's
+  per-iteration recomputation (`model/nerf.py:969-973`).
+
+Parameters are a flat dict (names match the reference's optimizer
+groups, `model/nerf_training.py:9-37`):
+  sdf    [X, Y, Z, 1]
+  k0     [X, Y, Z, k0_dim]
+  refnet {w0, b0, ...}
+  rgbnet {w0, b0, ...}        (fine stage only)
+  s_val  [1]                  (trained only when s_learn)
+
+Buffers are a dict of non-trained state:
+  nonempty_mask [X, Y, Z, 1] bool      (stages with a mask cache)
+  mask_cache    {grid, xyz_min, xyz_max}  (max-pooled prior-stage mask)
+  inc_lower / inc_upper [3]            (incremental-voxel box, [0,1])
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fgs_nerf_tpu.core.box import SceneBox, grid_resolution, max_samples_per_ray
+from fgs_nerf_tpu.models.mlp import init_mlp, mlp_apply, refnet_dims, rgbnet_dims
+from fgs_nerf_tpu.ops.encoding import freq_bank, l2_normalize, reflect, sincos_encode
+from fgs_nerf_tpu.ops.interp import (
+    center_gradient_taps,
+    max_pool3d_same,
+    resize_trilinear,
+    sample_sdf_taps,
+    trilinear_sample,
+)
+from fgs_nerf_tpu.ops.ray_sample import sample_along_rays
+from fgs_nerf_tpu.ops.sdf2alpha import neus_alpha
+from fgs_nerf_tpu.ops.stencils import sdf_gradient, smooth_grid
+from fgs_nerf_tpu.ops.transmittance import alpha_to_weights
+
+
+@dataclasses.dataclass(frozen=True)
+class SDFModelConfig:
+    """Static (hashable) model configuration for one training stage."""
+
+    stage: str  # 'geometry_searching' | 'coarse' | 'fine'
+    num_voxels: int
+    num_voxels_base: int
+    world_size: Tuple[int, int, int]
+    voxel_size: float
+    voxel_size_base: float
+    s_max: int
+    stepsize: float
+    k0_dim: int = 12
+    rgbnet_width: int = 256
+    rgbnet_depth: int = 4
+    refnet_width: int = 256
+    refnet_depth: int = 4
+    posbase_pe: int = 5
+    viewbase_pe: int = 3
+    refbase_pe: int = 8
+    grad_feat: Tuple[float, ...] = ()
+    sdf_feat: Tuple[float, ...] = ()
+    k_grad_feat: Tuple[float, ...] = (1.0,)
+    k_sdf_feat: Tuple[float, ...] = ()
+    use_grad_norm: bool = True
+    center_sdf: bool = True
+    use_viewdir: bool = True
+    grad_mode: str = "interpolate"
+    s_ratio: float = 50.0
+    s_start: float = 0.05
+    s_learn: bool = False
+    step_start: int = 0
+    smooth_ksize: int = 0
+    smooth_sigma: float = 1.0
+    smooth_scale: bool = True
+    fast_color_thres: float = 1e-4
+    mask_cache_thres: float = 1e-3
+    shade_k: int = 0  # 0 = dense shading; >0 = top-K compacted shading
+
+    @property
+    def is_fine(self) -> bool:
+        return self.stage == "fine"
+
+    @property
+    def voxel_size_ratio(self) -> float:
+        return self.voxel_size / self.voxel_size_base
+
+    @property
+    def step_dist(self) -> float:
+        return self.stepsize * self.voxel_size
+
+    @property
+    def smooth_sdf(self) -> bool:
+        return self.smooth_ksize > 0
+
+    @property
+    def all_displace(self) -> Tuple[float, ...]:
+        """sorted(set(grad_feat | k_grad_feat)) (`model/nerf.py:843-849`);
+        the reference asserts grad and sdf displacement sets match."""
+        inds = tuple(sorted(set(self.grad_feat) | set(self.k_grad_feat)))
+        sdf_inds = tuple(sorted(set(self.sdf_feat) | set(self.k_sdf_feat)))
+        if inds != sdf_inds:
+            raise ValueError("grad_feat/sdf_feat displacement sets must match")
+        return inds
+
+    def rgbnet_in_dim(self) -> int:
+        """`model/nerf.py:108-112`."""
+        d = (3 + 3 * self.posbase_pe * 2) + self.k0_dim + 3
+        d += len(self.grad_feat) * 3 + len(self.sdf_feat) * 6
+        if self.center_sdf:
+            d += 1
+        if self.use_viewdir:
+            d += 3 + 3 * self.viewbase_pe * 2
+        return d
+
+    def refnet_in_dim(self) -> int:
+        """`model/nerf.py:114-120`."""
+        d = 3 + 3 * self.refbase_pe * 2
+        if self.is_fine:
+            d += self.refnet_width
+        else:
+            d += self.k0_dim + (3 + 3 * self.posbase_pe * 2) + 3
+            if self.use_viewdir:
+                d += 3 + 3 * self.viewbase_pe * 2
+        return d
+
+
+def make_model_config(
+    stage: str,
+    xyz_min,
+    xyz_max,
+    num_voxels: int,
+    num_voxels_base: int,
+    stepsize: float,
+    shade_k: int = 0,
+    **kwargs,
+) -> SDFModelConfig:
+    """Resolve dynamic voxel budget into static grid geometry
+    (`model/nerf.py:67-71, 298-307`)."""
+    world_size, voxel_size = grid_resolution(xyz_min, xyz_max, num_voxels)
+    _, voxel_size_base = grid_resolution(xyz_min, xyz_max, num_voxels_base)
+    s_max = max_samples_per_ray(world_size, stepsize)
+    return SDFModelConfig(
+        stage=stage,
+        num_voxels=num_voxels,
+        num_voxels_base=num_voxels_base,
+        world_size=world_size,
+        voxel_size=voxel_size,
+        voxel_size_base=voxel_size_base,
+        s_max=s_max,
+        stepsize=stepsize,
+        shade_k=shade_k,
+        **kwargs,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Parameter / buffer construction
+# ---------------------------------------------------------------------------
+
+
+def ball_init_sdf(world_size: Tuple[int, int, int], stage: str) -> jnp.ndarray:
+    """Unit-ball SDF init (`model/nerf.py:76-82`): radius field on a
+    [-1, 1]^3 lattice; non-geometry stages subtract 1."""
+    axes = [np.linspace(-1.0, 1.0, n) for n in world_size]
+    x, y, z = np.meshgrid(*axes, indexing="ij")
+    r = np.sqrt(x**2 + y**2 + z**2)
+    if stage != "geometry_searching":
+        r = r - 1.0
+    return jnp.asarray(r[..., None], jnp.float32)
+
+
+def init_params(key, cfg: SDFModelConfig) -> Dict[str, Any]:
+    k_ref, k_rgb = jax.random.split(key)
+    params: Dict[str, Any] = {
+        "sdf": ball_init_sdf(cfg.world_size, cfg.stage),
+        "k0": jnp.zeros((*cfg.world_size, cfg.k0_dim), jnp.float32),
+        "refnet": init_mlp(
+            k_ref, refnet_dims(cfg.refnet_in_dim(), cfg.refnet_width, cfg.refnet_depth)
+        ),
+        "s_val": jnp.full((1,), cfg.s_start, jnp.float32),
+    }
+    if cfg.is_fine:
+        params["rgbnet"] = init_mlp(
+            k_rgb, rgbnet_dims(cfg.rgbnet_in_dim(), cfg.rgbnet_width, cfg.rgbnet_depth)
+        )
+    return params
+
+
+def reset_refnet(params: Dict[str, Any], key, cfg: SDFModelConfig) -> Dict[str, Any]:
+    """Re-init the shading head after progressive upscaling
+    (`model/nerf.py:383-396`, driven by ``reset_iter``)."""
+    new = dict(params)
+    new["refnet"] = init_mlp(
+        key, refnet_dims(cfg.refnet_in_dim(), cfg.refnet_width, cfg.refnet_depth)
+    )
+    return new
+
+
+def empty_buffers() -> Dict[str, Any]:
+    return {}
+
+
+# ---------------------------------------------------------------------------
+# Mask machinery
+# ---------------------------------------------------------------------------
+
+
+def build_sdf_mask(params: Dict[str, Any], cfg: SDFModelConfig) -> jnp.ndarray:
+    """The checkpoint-time occupancy summary handed to the next stage.
+
+    Parity with ``set_sdf_mask`` (`model/nerf.py:181-186`) including its
+    quirk: the expression is ``abs(sdf < 0.5) * 1e-3``, i.e. a *boolean*
+    threshold ``sdf < 0.5`` scaled to 1e-3 — not ``|sdf| < 0.5``.
+    Uses the smoothed SDF when smoothing is enabled.
+    """
+    sdf = params["sdf"]
+    if cfg.smooth_sdf:
+        sdf = smooth_grid(sdf, cfg.smooth_ksize, cfg.smooth_sigma)
+    return jnp.where(sdf < 0.5, 1e-3, 0.0).astype(jnp.float32)
+
+
+def compute_bbox_from_sdf_mask(
+    sdf_mask: np.ndarray, xyz_min: np.ndarray, xyz_max: np.ndarray
+):
+    """Shrink the stage bbox to the active mask extent
+    (`model/nerf_training.py:40-58`)."""
+    m = np.asarray(sdf_mask)[..., 0] > 0
+    axes = [np.linspace(0.0, 1.0, n) for n in m.shape]
+    gx, gy, gz = np.meshgrid(*axes, indexing="ij")
+    interp = np.stack([gx, gy, gz], -1)
+    dense_xyz = xyz_min * (1 - interp) + xyz_max * interp
+    active = dense_xyz[m]
+    return active.min(0).astype(np.float32), active.max(0).astype(np.float32)
+
+
+def build_mask_cache(
+    sdf_mask: jnp.ndarray, prior_xyz_min, prior_xyz_max
+) -> Dict[str, jnp.ndarray]:
+    """MaskCache state: 3x3x3 max-pooled prior-stage sdf_mask
+    (`model/nerf.py:1192-1200`)."""
+    return {
+        "grid": max_pool3d_same(sdf_mask, 3),
+        "xyz_min": jnp.asarray(prior_xyz_min, jnp.float32),
+        "xyz_max": jnp.asarray(prior_xyz_max, jnp.float32),
+    }
+
+
+def mask_cache_query(
+    mc: Dict[str, jnp.ndarray], xyz: jnp.ndarray, thres: float
+) -> jnp.ndarray:
+    """Trilinear lookup >= thres (`model/nerf.py:1202-1209`)."""
+    box = SceneBox(mc["xyz_min"], mc["xyz_max"])
+    val = trilinear_sample(mc["grid"], xyz, box)[..., 0]
+    return val >= thres
+
+
+def set_nonempty_mask(
+    params: Dict[str, Any], buffers: Dict[str, Any], cfg: SDFModelConfig, box: SceneBox
+):
+    """Mark grid nodes inside known-occupied space; in the coarse stage
+    also push free-space SDF to +1 (`model/nerf.py:338-353`)."""
+    nodes = _grid_nodes(cfg.world_size, box)
+    mask = mask_cache_query(buffers["mask_cache"], nodes, cfg.mask_cache_thres)
+    buffers = dict(buffers)
+    buffers["nonempty_mask"] = mask[..., None]
+    params = dict(params)
+    if cfg.stage == "coarse":
+        params["sdf"] = jnp.where(mask[..., None], params["sdf"], 1.0)
+    return params, buffers
+
+
+def _grid_nodes(world_size, box: SceneBox) -> jnp.ndarray:
+    axes = [jnp.linspace(box.xyz_min[i], box.xyz_max[i], world_size[i]) for i in range(3)]
+    gx, gy, gz = jnp.meshgrid(*axes, indexing="ij")
+    return jnp.stack([gx, gy, gz], -1)
+
+
+def maskout_near_cam_vox(
+    params: Dict[str, Any], cam_o: jnp.ndarray, near: float, cfg: SDFModelConfig,
+    box: SceneBox,
+) -> Dict[str, Any]:
+    """SDF := 5 for voxels within ``near`` of any camera
+    (`model/nerf.py:355-366`)."""
+    nodes = _grid_nodes(cfg.world_size, box)  # [X,Y,Z,3]
+    d2 = jnp.min(
+        jnp.sum((nodes[..., None, :] - cam_o) ** 2, axis=-1), axis=-1
+    )
+    near_mask = jnp.sqrt(d2) <= near
+    params = dict(params)
+    params["sdf"] = jnp.where(near_mask[..., None], 5.0, params["sdf"])
+    return params
+
+
+def inc_mask_query(
+    lower: jnp.ndarray, upper: jnp.ndarray, xyz: jnp.ndarray, box: SceneBox,
+    world_size: Tuple[int, int, int],
+) -> jnp.ndarray:
+    """Incremental-voxel box test.
+
+    The reference builds a boolean MaskGrid over unit-cube lattice nodes
+    and queries it with nearest-voxel lookup (`model/nerf.py:1077-1088`,
+    `model/grid.py:253-284`); that is equivalent to snapping the query
+    to its nearest node and box-testing the node's unit coordinate.
+    """
+    sizes = jnp.asarray(world_size, jnp.float32)
+    ijk = jnp.floor(box.normalize(xyz) * (sizes - 1.0) + 0.5)
+    inb = jnp.all((ijk >= 0) & (ijk <= sizes - 1.0), axis=-1)
+    u = ijk / (sizes - 1.0)
+    inside = jnp.all((u >= lower) & (u <= upper), axis=-1)
+    return inside & inb
+
+
+# ---------------------------------------------------------------------------
+# Progressive scaling / cross-stage init
+# ---------------------------------------------------------------------------
+
+
+def scale_volume_grid(
+    params: Dict[str, Any], new_cfg: SDFModelConfig
+) -> Dict[str, Any]:
+    """Trilinear upsample of sdf + k0 to the new rung's resolution
+    (`model/nerf.py:368-381`, `model/grid.py:101-106`)."""
+    params = dict(params)
+    params["sdf"] = resize_trilinear(params["sdf"], new_cfg.world_size)
+    params["k0"] = resize_trilinear(params["k0"], new_cfg.world_size)
+    return params
+
+
+def init_sdf_from_sdf(
+    params: Dict[str, Any],
+    sdf0: jnp.ndarray,
+    cfg: SDFModelConfig,
+    reduce: float = 1.0,
+) -> Dict[str, Any]:
+    """Warm-start the SDF from the previous stage's grid
+    (`model/nerf.py:280-296`, invoked with smooth=False by
+    `model/nerf_training.py:122-129`): resize, divide by ``reduce``,
+    then (``smooth_scale``) apply a 5^3 sigma-1 gaussian."""
+    params = dict(params)
+    if sdf0.shape[:3] != tuple(cfg.world_size):
+        sdf0 = resize_trilinear(sdf0, cfg.world_size)
+    sdf = sdf0 / reduce
+    if cfg.smooth_scale:
+        sdf = smooth_grid(sdf, 5, 1.0)
+    params["sdf"] = sdf
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Rendering
+# ---------------------------------------------------------------------------
+
+
+def _topk_select(weights, live, k):
+    """Per-ray top-k sample selection by weight; returns (idx [N,k],
+    sel_live [N,k]).  Order-free because compositing is a weighted sum."""
+    score = jnp.where(live, weights, -1.0)
+    vals, idx = jax.lax.top_k(score, k)
+    return idx, vals > 0.0
+
+
+def _gather_slots(x, idx):
+    """take_along_axis over the sample axis for [N,S] or [N,S,C]."""
+    if x.ndim == 2:
+        return jnp.take_along_axis(x, idx, axis=1)
+    return jnp.take_along_axis(x, idx[..., None], axis=1)
+
+
+def forward(
+    params: Dict[str, Any],
+    buffers: Dict[str, Any],
+    cfg: SDFModelConfig,
+    box: SceneBox,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    viewdirs: jnp.ndarray,
+    s_val: jnp.ndarray,
+    near: float,
+    bg: float,
+) -> Dict[str, jnp.ndarray]:
+    if cfg.is_fine:
+        return forward_fine(params, buffers, cfg, box, rays_o, rays_d, viewdirs, s_val, near, bg)
+    return forward_coarse(params, buffers, cfg, box, rays_o, rays_d, viewdirs, s_val, near, bg)
+
+
+def forward_coarse(
+    params, buffers, cfg: SDFModelConfig, box: SceneBox,
+    rays_o, rays_d, viewdirs, s_val, near, bg,
+) -> Dict[str, jnp.ndarray]:
+    """Geometry-searching / coarse render (`model/nerf.py:943-1075`)."""
+    n = rays_o.shape[0]
+    rs = sample_along_rays(rays_o, rays_d, box, near, cfg.step_dist, cfg.s_max)
+    pts, valid = rs.pts, rs.valid
+
+    if cfg.stage == "coarse" and "mask_cache" in buffers:
+        valid = valid & mask_cache_query(buffers["mask_cache"], pts, cfg.mask_cache_thres)
+    if "inc_lower" in buffers:
+        valid = valid & inc_mask_query(
+            buffers["inc_lower"], buffers["inc_upper"], pts, box, cfg.world_size
+        )
+
+    sdf_grid = params["sdf"]
+    if cfg.smooth_sdf:
+        sdf_grid = smooth_grid(sdf_grid, cfg.smooth_ksize, cfg.smooth_sigma)
+    sdf = trilinear_sample(sdf_grid, pts, box)[..., 0]  # [N, S]
+    # Gradient field is built from the RAW sdf grid (`model/nerf.py:972`).
+    grad_field = sdf_gradient(params["sdf"], cfg.voxel_size, cfg.grad_mode)
+    gradient = trilinear_sample(grad_field, pts, box)  # [N, S, 3]
+
+    dist = jnp.asarray(cfg.step_dist, jnp.float32)
+    alpha = neus_alpha(viewdirs, sdf, gradient, dist, s_val)
+
+    # First scan -> weight threshold -> second scan on the survivors
+    # (`model/nerf.py:978-990`).
+    w1, _ = alpha_to_weights(alpha, valid)
+    if cfg.fast_color_thres > 0:
+        live = valid & (w1 > cfg.fast_color_thres)
+    else:
+        live = valid
+    weights, alphainv_last = alpha_to_weights(alpha, live)
+
+    normal = l2_normalize(gradient / (jnp.linalg.norm(gradient, axis=-1, keepdims=True) + 1e-7))
+
+    # ---- pass 2: shading -------------------------------------------------
+    if cfg.shade_k > 0:
+        idx, sel_live = _topk_select(weights, live, cfg.shade_k)
+        s_pts = _gather_slots(pts, idx)
+        s_normal = _gather_slots(normal, idx)
+        s_weights = _gather_slots(weights, idx) * sel_live
+        overflow = jnp.sum(live, axis=-1) > cfg.shade_k
+    else:
+        s_pts, s_normal = pts, normal
+        s_weights = weights * live
+        sel_live = live
+        overflow = jnp.zeros((n,), bool)
+
+    viewdirs_pts = jnp.broadcast_to(viewdirs[:, None, :], s_pts.shape)
+    rgb = _shade_coarse(params, cfg, box, s_pts, viewdirs_pts, s_normal, viewdirs)
+    sigmoid_rgb_pt = jax.nn.sigmoid(rgb)  # the double sigmoid (`model/nerf.py:1009-1010`)
+
+    w_full = weights * live
+    cum_weights = jnp.sum(w_full, axis=-1, keepdims=True)
+    rgb_marched = jnp.clip(
+        jnp.sum(s_weights[..., None] * rgb, axis=1) + (1.0 - cum_weights) * bg, 0.0, 1.0
+    )
+    sigmoid_rgb = jnp.clip(
+        jnp.sum(s_weights[..., None] * sigmoid_rgb_pt, axis=1)
+        + (1.0 - cum_weights) * bg,
+        0.0,
+        1.0,
+    )
+    normal_marched = jnp.sum(w_full[..., None] * normal, axis=1)
+    step_ids = jnp.arange(cfg.s_max, dtype=jnp.float32)
+    depth = jax.lax.stop_gradient(jnp.sum(w_full * step_ids * dist, axis=-1))
+
+    return {
+        "rgb_marched": rgb_marched,
+        "sigmoid_rgb": sigmoid_rgb,
+        "alphainv_cum": alphainv_last,
+        "cum_weights": cum_weights,
+        "normal_marched": normal_marched,
+        "depth": depth,
+        "disp": 1.0 / jnp.maximum(depth, 1e-10),
+        "weights": w_full,
+        "normal": normal,
+        "live": live,
+        "valid": valid,
+        "sel_weights": s_weights,
+        "sel_rgb": rgb,
+        "sel_live": sel_live,
+        "overflow": overflow,
+        "s_val": s_val,
+    }
+
+
+def _shade_coarse(params, cfg: SDFModelConfig, box, pts, viewdirs_pts, normal, viewdirs):
+    """Coarse shading head (`model/nerf.py:993-1009`): refnet on
+    [k0, xyz_emb, reflect_emb, normal(, viewdirs_emb)] -> sigmoid."""
+    rays_xyz = box.normalize(pts)
+    xyz_emb = sincos_encode(rays_xyz, freq_bank(cfg.posbase_pe))
+    k0 = trilinear_sample(params["k0"], pts, box)
+    refl = reflect(viewdirs_pts, normal)
+    reflect_emb = sincos_encode(refl, freq_bank(cfg.refbase_pe))
+    feats = [k0, xyz_emb, reflect_emb, normal]
+    if cfg.use_viewdir:
+        vd_emb = sincos_encode(viewdirs, freq_bank(cfg.viewbase_pe))  # [N, E]
+        feats.append(jnp.broadcast_to(vd_emb[:, None, :], (*pts.shape[:2], vd_emb.shape[-1])))
+    ref_feat = jnp.concatenate(feats, axis=-1)
+    return jax.nn.sigmoid(mlp_apply(params["refnet"], ref_feat))
+
+
+def forward_fine(
+    params, buffers, cfg: SDFModelConfig, box: SceneBox,
+    rays_o, rays_d, viewdirs, s_val, near, bg,
+) -> Dict[str, jnp.ndarray]:
+    """Fine render (`model/nerf.py:776-941`)."""
+    n = rays_o.shape[0]
+    rs = sample_along_rays(rays_o, rays_d, box, near, cfg.step_dist, cfg.s_max)
+    pts, valid = rs.pts, rs.valid
+
+    if "mask_cache" in buffers:
+        valid = valid & mask_cache_query(buffers["mask_cache"], pts, cfg.mask_cache_thres)
+
+    sdf_grid = params["sdf"]
+    if cfg.smooth_sdf:
+        sdf_grid = smooth_grid(sdf_grid, cfg.smooth_ksize, cfg.smooth_sigma)
+    sdf = trilinear_sample(sdf_grid, pts, box)[..., 0]
+    gradient, _ = center_gradient_taps(sdf_grid, pts, box, cfg.voxel_size)
+
+    dist = jnp.asarray(cfg.step_dist, jnp.float32)
+    alpha = neus_alpha(viewdirs, sdf, gradient, dist, s_val)
+
+    # alpha threshold -> single scan -> weight threshold
+    # (`model/nerf.py:802-833`), no rescan after the weight cut.
+    if cfg.fast_color_thres > 0:
+        m1 = valid & (alpha > cfg.fast_color_thres)
+    else:
+        m1 = valid
+    weights, alphainv_last = alpha_to_weights(alpha, m1)
+    if cfg.fast_color_thres > 0:
+        live = m1 & (weights > cfg.fast_color_thres)
+    else:
+        live = m1
+
+    normal = l2_normalize(gradient / (jnp.linalg.norm(gradient, axis=-1, keepdims=True) + 1e-7))
+    w_eff = weights * live
+
+    if cfg.shade_k > 0:
+        idx, sel_live = _topk_select(weights, live, cfg.shade_k)
+        s_pts = _gather_slots(pts, idx)
+        s_sdf = _gather_slots(sdf, idx)
+        s_normal = _gather_slots(normal, idx)
+        s_gradient = _gather_slots(gradient, idx)
+        s_weights = _gather_slots(weights, idx) * sel_live
+        overflow = jnp.sum(live, axis=-1) > cfg.shade_k
+    else:
+        s_pts, s_sdf, s_normal, s_gradient = pts, sdf, normal, gradient
+        s_weights = w_eff
+        sel_live = live
+        overflow = jnp.zeros((n,), bool)
+
+    rgb = _shade_fine(
+        params, cfg, box, sdf_grid, s_pts, s_sdf, s_gradient, s_normal, viewdirs
+    )
+    sigmoid_rgb_pt = jax.nn.sigmoid(rgb)
+
+    cum_weights = jnp.sum(w_eff, axis=-1, keepdims=True)
+    rgb_marched = jnp.clip(
+        jnp.sum(s_weights[..., None] * rgb, axis=1) + (1.0 - cum_weights) * bg, 0.0, 1.0
+    )
+    sigmoid_rgb = jnp.clip(
+        jnp.sum(s_weights[..., None] * sigmoid_rgb_pt, axis=1)
+        + (1.0 - cum_weights) * bg,
+        0.0,
+        1.0,
+    )
+    normal_marched = jnp.sum(w_eff[..., None] * normal, axis=1)
+    step_ids = jnp.arange(cfg.s_max, dtype=jnp.float32)
+    depth = jax.lax.stop_gradient(jnp.sum(w_eff * step_ids * dist, axis=-1))
+
+    return {
+        "rgb_marched": rgb_marched,
+        "sigmoid_rgb": sigmoid_rgb,
+        "alphainv_cum": alphainv_last,
+        "cum_weights": cum_weights,
+        "normal_marched": normal_marched,
+        "depth": depth,
+        "disp": 1.0 / jnp.maximum(depth, 1e-10),
+        "weights": w_eff,
+        "normal": normal,
+        "live": live,
+        "valid": valid,
+        "sel_weights": s_weights,
+        "sel_rgb": rgb,
+        "sel_live": sel_live,
+        "overflow": overflow,
+        "s_val": s_val,
+    }
+
+
+def _shade_fine(params, cfg: SDFModelConfig, box, sdf_grid, pts, sdf, gradient, normal, viewdirs):
+    """Fine shading (`model/nerf.py:835-884`): rgbnet on hierarchical
+    SDF features, then refnet on [rgb_feat, reflect_emb]."""
+    rays_xyz = box.normalize(pts)
+    xyz_emb = sincos_encode(rays_xyz, freq_bank(cfg.posbase_pe))
+    k0 = trilinear_sample(params["k0"], pts, box)
+
+    displace = cfg.all_displace
+    feats = [k0, xyz_emb]
+    if cfg.use_viewdir:
+        vd_emb = sincos_encode(viewdirs, freq_bank(cfg.viewbase_pe))
+        feats.append(jnp.broadcast_to(vd_emb[:, None, :], (*pts.shape[:2], vd_emb.shape[-1])))
+    if cfg.center_sdf:
+        feats.append(sdf[..., None])
+    if displace:
+        all_feat, all_grad = sample_sdf_taps(
+            sdf_grid, pts, box, displace, cfg.voxel_size, cfg.use_grad_norm
+        )
+        d = len(displace)
+        feats.append(all_feat.reshape(*pts.shape[:2], 6 * d))
+        feats.append(all_grad.reshape(*pts.shape[:2], 3 * d))
+    # The reference appends the xyz-order center gradient last
+    # (`model/nerf.py:865-876`, asserts k_grad_feat == (1.0,)).
+    feats.append(gradient)
+    rgb_feat = mlp_apply(params["rgbnet"], jnp.concatenate(feats, axis=-1))
+
+    viewdirs_pts = jnp.broadcast_to(viewdirs[:, None, :], pts.shape)
+    refl = reflect(viewdirs_pts, normal)
+    reflect_emb = sincos_encode(refl, freq_bank(cfg.refbase_pe))
+    ref_feat = jnp.concatenate([rgb_feat, reflect_emb], axis=-1)
+    return jax.nn.sigmoid(mlp_apply(params["refnet"], ref_feat))

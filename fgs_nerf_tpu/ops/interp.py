@@ -1,0 +1,207 @@
+"""Grid interpolation ops: trilinear gather, nearest lookup, finite-difference
+tap sampling, and align-corners trilinear resize.
+
+These replace the reference's uses of ATen ``F.grid_sample`` (5-D
+trilinear, zero padding, align_corners=True — `model/grid.py:49-68`,
+`model/nerf.py:639-672`), the CUDA nearest-voxel ``maskcache_lookup``
+(`model/cuda/render_utils_kernel.cu:367-424`), the six-tap
+finite-difference sampler ``sample_sdfs`` (`model/nerf.py:597-637`),
+and ``F.interpolate(mode='trilinear', align_corners=True)``
+(`model/grid.py:101-106`).
+
+Conventions: grids are channel-last ``[X, Y, Z, C]`` and all sampling is
+done in **xyz index space** (the reference flips coordinates to zyx only
+because grid_sample demands it; flipping is an artifact we drop).
+The backward of the trilinear gather is XLA's deterministic scatter-add
+— unlike the reference, whose grid_sample backward is explicitly
+nondeterministic (`model/utils.py:100-107`).
+"""
+from __future__ import annotations
+
+import itertools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fgs_nerf_tpu.core.box import SceneBox
+
+
+def _corner_gather(flat_grid, ci, sizes):
+    """Gather [..., C] values at integer coords ``ci`` [..., 3], zero outside."""
+    inb = jnp.all((ci >= 0) & (ci < sizes), axis=-1)
+    cc = jnp.clip(ci, 0, sizes - 1)
+    lin = (cc[..., 0] * sizes[1] + cc[..., 1]) * sizes[2] + cc[..., 2]
+    vals = jnp.take(flat_grid, lin, axis=0)
+    return vals * inb[..., None].astype(flat_grid.dtype)
+
+
+def trilinear_sample_index(grid: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear interpolation at fractional **index-space** coords.
+
+    grid: [X, Y, Z, C]; idx: [..., 3] in voxel units ([0, size-1] maps
+    onto the grid, align_corners=True).  Out-of-range corners read as
+    zero (torch zero padding).
+    """
+    sizes = jnp.asarray(grid.shape[:3], jnp.int32)
+    flat = grid.reshape(-1, grid.shape[-1])
+    i0 = jnp.floor(idx).astype(jnp.int32)
+    f = idx - i0.astype(idx.dtype)
+    out = None
+    for off in itertools.product((0, 1), repeat=3):
+        off_arr = jnp.asarray(off, jnp.int32)
+        w = jnp.prod(
+            jnp.where(jnp.asarray(off, bool), f, 1.0 - f), axis=-1
+        )
+        v = _corner_gather(flat, i0 + off_arr, sizes)
+        term = w[..., None] * v
+        out = term if out is None else out + term
+    return out
+
+
+def trilinear_sample(grid: jnp.ndarray, xyz: jnp.ndarray, box: SceneBox) -> jnp.ndarray:
+    """Trilinear sample at world coords (parity: `model/grid.py:49-68`)."""
+    sizes = jnp.asarray(grid.shape[:3], jnp.float32)
+    idx = box.normalize(xyz) * (sizes - 1.0)
+    return trilinear_sample_index(grid, idx)
+
+
+def nearest_bool_lookup(
+    mask: jnp.ndarray, xyz: jnp.ndarray, box: SceneBox
+) -> jnp.ndarray:
+    """Nearest-voxel boolean occupancy test.
+
+    Parity with ``maskcache_lookup`` (`render_utils_kernel.cu:374-392`):
+    ``ijk = round(xyz * scale + shift)`` with scale ``(size-1)/extent``;
+    out-of-bounds returns False.  CUDA ``round`` is half-away-from-zero,
+    emulated with floor(x + 0.5) (coords in-bound are non-negative).
+    """
+    sizes = jnp.asarray(mask.shape, jnp.int32)
+    scale = (sizes.astype(jnp.float32) - 1.0) / box.extent
+    shift = -box.xyz_min * scale
+    ijk = jnp.floor(xyz * scale + shift + 0.5).astype(jnp.int32)
+    inb = jnp.all((ijk >= 0) & (ijk < sizes), axis=-1)
+    cc = jnp.clip(ijk, 0, sizes - 1)
+    lin = (cc[..., 0] * sizes[1] + cc[..., 1]) * sizes[2] + cc[..., 2]
+    return jnp.take(mask.reshape(-1), lin) & inb
+
+
+def sample_sdf_taps(
+    grid: jnp.ndarray,
+    xyz: jnp.ndarray,
+    box: SceneBox,
+    displace_list: Sequence[float],
+    voxel_size: float,
+    use_grad_norm: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Six-neighbor tap sampling + finite-difference gradients.
+
+    Parity with ``sample_sdfs`` (`model/nerf.py:597-637`): for each
+    displacement d, sample the (1-channel) grid trilinearly at the
+    query index +/- d along each axis, with the tap *coordinates*
+    clamped to [0, size-1] before sampling; the gradient divides the
+    value difference by the (post-clamp) index distance and the voxel
+    size.  Tap/axis ordering follows the reference's zyx layout so the
+    flattened features feed MLPs identically:
+
+    Returns:
+      feat: [..., 6, D] taps ordered (z-, z+, y-, y+, x-, x+).
+      grad: [..., 3, D] axes ordered (z, y, x); normalized per-level
+            over the axis dim when ``use_grad_norm``
+            (`model/nerf.py:631-632`).
+    """
+    sizes = jnp.asarray(grid.shape[:3], jnp.float32)
+    idx = box.normalize(xyz) * (sizes - 1.0)  # [..., 3] xyz index space
+
+    displace = jnp.asarray(displace_list, jnp.float32)  # [D]
+    # Offsets in xyz axis order; emitted tap order is (z-, z+, y-, y+, x-, x+).
+    axis_order = (2, 1, 0)  # z, y, x
+    feats = []
+    diffs = []
+    for ax in axis_order:
+        for sign in (-1.0, 1.0):
+            off = jnp.zeros((3,), jnp.float32).at[ax].set(sign)
+            tap_idx = idx[..., None, :] + off * displace[:, None]  # [..., D, 3]
+            tap_idx = jnp.clip(tap_idx, 0.0, sizes - 1.0)
+            feats.append(trilinear_sample_index(grid, tap_idx)[..., 0])  # [..., D]
+            diffs.append(tap_idx[..., ax])
+    feat = jnp.stack(feats, axis=-2)  # [..., 6, D]
+    tap_coord = jnp.stack(diffs, axis=-2)  # [..., 6, D]
+
+    # Post-clamp index distance between the +/- taps of each axis
+    # (the reference takes max over coords, which selects the displaced
+    # axis: `model/nerf.py:621-623`).
+    dist = tap_coord[..., 1::2, :] - tap_coord[..., 0::2, :]  # [..., 3, D]
+    grad = (feat[..., 1::2, :] - feat[..., 0::2, :]) / dist / voxel_size
+    if use_grad_norm:
+        grad = grad / (jnp.linalg.norm(grad, axis=-2, keepdims=True) + 1e-5)
+    return feat, grad
+
+
+def center_gradient_taps(
+    grid: jnp.ndarray, xyz: jnp.ndarray, box: SceneBox, voxel_size: float
+):
+    """The displace=1.0 tap pass used by the fine forward for its alpha
+    gradient, reordered to xyz (parity: `model/nerf.py:660-667`).
+
+    Returns (grad_xyz [..., 3], feat [..., 6] ordered (x-,x+,y-,y+,z-,z+)).
+    """
+    feat, grad = sample_sdf_taps(
+        grid, xyz, box, (1.0,), voxel_size, use_grad_norm=False
+    )
+    feat = feat[..., :, 0]  # [..., 6] (z-, z+, y-, y+, x-, x+)
+    grad = grad[..., :, 0]  # [..., 3] (z, y, x)
+    feat_xyz = jnp.concatenate(
+        [feat[..., 4:6], feat[..., 2:4], feat[..., 0:2]], axis=-1
+    )
+    grad_xyz = jnp.stack(
+        [grad[..., 2], grad[..., 1], grad[..., 0]], axis=-1
+    )
+    return grad_xyz, feat_xyz
+
+
+def _resize_axis_linear(grid: jnp.ndarray, axis: int, new_len: int) -> jnp.ndarray:
+    old_len = grid.shape[axis]
+    if old_len == new_len:
+        return grid
+    if old_len == 1:
+        reps = [1] * grid.ndim
+        reps[axis] = new_len
+        return jnp.tile(grid, reps)
+    pos = jnp.linspace(0.0, old_len - 1.0, new_len)
+    i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, old_len - 2)
+    f = pos - i0.astype(pos.dtype)
+    lo = jnp.take(grid, i0, axis=axis)
+    hi = jnp.take(grid, i0 + 1, axis=axis)
+    shape = [1] * grid.ndim
+    shape[axis] = new_len
+    f = f.reshape(shape)
+    return lo * (1.0 - f) + hi * f
+
+
+def resize_trilinear(grid: jnp.ndarray, new_size: Sequence[int]) -> jnp.ndarray:
+    """Align-corners trilinear resize of an [X, Y, Z, C] grid.
+
+    Parity with ``F.interpolate(..., mode='trilinear',
+    align_corners=True)`` (`model/grid.py:101-106`); separable per-axis
+    linear interpolation is exact for this mode.
+    """
+    out = grid
+    for axis, n in enumerate(new_size):
+        out = _resize_axis_linear(out, axis, int(n))
+    return out
+
+
+def max_pool3d_same(grid: jnp.ndarray, ksize: int = 3) -> jnp.ndarray:
+    """kxkxk max pool, stride 1, same padding over an [X, Y, Z, C] grid
+    (parity: ``F.max_pool3d(kernel_size=3, padding=1, stride=1)`` at
+    `model/nerf.py:1199`)."""
+    pad = ksize // 2
+    return jax.lax.reduce_window(
+        grid,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(ksize, ksize, ksize, 1),
+        window_strides=(1, 1, 1, 1),
+        padding=[(pad, pad)] * 3 + [(0, 0)],
+    )

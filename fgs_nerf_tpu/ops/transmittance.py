@@ -1,0 +1,87 @@
+"""Masked transmittance scan with early-exit semantics and a hand-written VJP.
+
+Replaces the serial per-ray CUDA scan ``alpha2weight`` /
+``alpha2weight_backward`` (`model/cuda/render_utils_kernel.cu:577-707`).
+On TPU the per-ray loop becomes an exclusive cumulative product along
+the (static) sample axis.  Two reference quirks are reproduced exactly:
+
+* **Early exit**: the CUDA forward stops a ray once the running
+  transmittance drops below 1e-3 (`render_utils_kernel.cu:597-601`) and
+  truncates the backward range accordingly — samples past the cutoff
+  get zero weight *and* zero gradient.  Here that is a prefix mask
+  ``T_exclusive >= 1e-3`` (the loop processes sample i iff no earlier
+  post-multiply dropped below the threshold, i.e. iff the exclusive
+  transmittance at i is still >= 1e-3).
+* **Backward guard**: the reference divides by ``1 - alpha + 1e-10``
+  (`render_utils_kernel.cu:673`); the custom VJP keeps that guard so
+  alpha == 1.0 exactly does not produce NaNs.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+EARLY_EXIT_T = 1e-3
+_GUARD = 1e-10
+
+
+def _exclusive_cumprod(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """cumprod shifted right by one, starting at 1."""
+    c = jnp.cumprod(x, axis=axis)
+    one = jnp.ones_like(jnp.take(c, jnp.array([0]), axis=axis))
+    return jnp.concatenate([one, jax.lax.slice_in_dim(c, 0, x.shape[axis] - 1, axis=axis)], axis=axis)
+
+
+def _forward(alpha: jnp.ndarray, valid: jnp.ndarray):
+    a = jnp.where(valid, alpha, 0.0)
+    t_excl = _exclusive_cumprod(1.0 - a, axis=-1)
+    processed = (t_excl >= EARLY_EXIT_T) & valid
+    a_eff = jnp.where(processed, a, 0.0)
+    # Prefix property: zeroing post-cutoff alphas leaves T unchanged on
+    # the processed prefix, and makes the full product equal the
+    # reference's alphainv_last at the break point.
+    t = _exclusive_cumprod(1.0 - a_eff, axis=-1)
+    weights = t * a_eff
+    alphainv_last = jnp.prod(1.0 - a_eff, axis=-1)
+    return weights, alphainv_last, t, processed, a_eff
+
+
+@jax.custom_vjp
+def alpha_to_weights(alpha: jnp.ndarray, valid: jnp.ndarray):
+    """[N, S] alphas (+ validity) -> per-sample weights, per-ray residual T.
+
+    Returns:
+      weights:        [N, S] compositing weights ``T_i * alpha_i``.
+      alphainv_last:  [N]    residual transmittance after the last
+                      processed sample (background weight).
+    """
+    weights, alphainv_last, _, _, _ = _forward(alpha, valid)
+    return weights, alphainv_last
+
+
+def _fwd(alpha, valid):
+    weights, alphainv_last, t, processed, a_eff = _forward(alpha, valid)
+    return (weights, alphainv_last), (weights, alphainv_last, t, processed, a_eff)
+
+
+def _bwd(res, grads):
+    weights, alphainv_last, t, processed, a_eff = res
+    g_w, g_last = grads
+    g_w = jnp.where(processed, g_w, 0.0)
+    # back_cum_i = g_last * alphainv_last + sum_{j>i} g_w_j * w_j
+    # (reference accumulation order, `render_utils_kernel.cu:671-675`).
+    gww = g_w * weights
+    suffix = jnp.flip(jnp.cumsum(jnp.flip(gww, axis=-1), axis=-1), axis=-1) - gww
+    back_cum = g_last[..., None] * alphainv_last[..., None] + suffix
+    grad_alpha = g_w * t - back_cum / (1.0 - a_eff + _GUARD)
+    grad_alpha = jnp.where(processed, grad_alpha, 0.0)
+    return grad_alpha, None
+
+
+alpha_to_weights.defvjp(_fwd, _bwd)
+
+
+def cumprod_exclusive_reference(alpha: jnp.ndarray) -> jnp.ndarray:
+    """Dense golden model: exclusive cumprod of (1 - alpha) with the
+    leading-ones convention of `model/dvgo.py:409-413`."""
+    return _exclusive_cumprod(1.0 - alpha, axis=-1)
