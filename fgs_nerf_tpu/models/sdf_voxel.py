@@ -373,6 +373,12 @@ def init_sdf_from_sdf(
 # ---------------------------------------------------------------------------
 
 
+def _safe_norm(x, axis=-1):
+    """L2 norm with a NaN-free gradient at 0 (masked lattice slots can
+    carry exactly-zero gradient vectors)."""
+    return jnp.sqrt(jnp.maximum(jnp.sum(x**2, axis=axis, keepdims=True), 1e-24))
+
+
 def _topk_select(weights, live, k):
     """Per-ray top-k sample selection by weight; returns (idx [N,k],
     sel_live [N,k]).  Order-free because compositing is a weighted sum."""
@@ -441,7 +447,7 @@ def forward_coarse(
         live = valid
     weights, alphainv_last = alpha_to_weights(alpha, live)
 
-    normal = l2_normalize(gradient / (jnp.linalg.norm(gradient, axis=-1, keepdims=True) + 1e-7))
+    normal = l2_normalize(gradient / (_safe_norm(gradient) + 1e-7))
 
     # ---- pass 2: shading -------------------------------------------------
     if cfg.shade_k > 0:
@@ -544,7 +550,7 @@ def forward_fine(
     else:
         live = m1
 
-    normal = l2_normalize(gradient / (jnp.linalg.norm(gradient, axis=-1, keepdims=True) + 1e-7))
+    normal = l2_normalize(gradient / (_safe_norm(gradient) + 1e-7))
     w_eff = weights * live
 
     if cfg.shade_k > 0:

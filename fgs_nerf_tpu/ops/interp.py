@@ -132,9 +132,16 @@ def sample_sdf_taps(
     # (the reference takes max over coords, which selects the displaced
     # axis: `model/nerf.py:621-623`).
     dist = tap_coord[..., 1::2, :] - tap_coord[..., 0::2, :]  # [..., 3, D]
+    # Far outside the grid both taps clamp to the same coordinate and
+    # dist hits 0; those are masked-out lattice slots, but a NaN there
+    # would poison `0 * NaN` composites, so guard the division.
+    dist = jnp.where(dist > 0, dist, 1.0)
     grad = (feat[..., 1::2, :] - feat[..., 0::2, :]) / dist / voxel_size
     if use_grad_norm:
-        grad = grad / (jnp.linalg.norm(grad, axis=-2, keepdims=True) + 1e-5)
+        norm = jnp.sqrt(
+            jnp.maximum(jnp.sum(grad**2, axis=-2, keepdims=True), 1e-24)
+        )
+        grad = grad / (norm + 1e-5)
     return feat, grad
 
 

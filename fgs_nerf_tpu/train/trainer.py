@@ -1,0 +1,419 @@
+"""Per-stage training orchestration.
+
+TPU-native re-design of ``nerf_training`` (`model/nerf_training.py:
+61-537`): the hot loop is one jitted train step (forward + losses +
+backward + TV gradient injection + masked Adam) over static shapes;
+everything schedule-shaped (LR decay, step-indexed events, incremental
+voxel bounds, the s-value schedule) is computed host-side and fed in as
+scalars so it never retraces.  Retraces happen only at progressive-
+scaling rungs (new grid shapes — bounded by ``pg_scale``), at
+``tv_updates`` events, and once if ``tv_dense_before`` is crossed,
+mirroring the reference's own optimizer-reset points.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fgs_nerf_tpu.core.box import SceneBox
+from fgs_nerf_tpu.models import sdf_voxel as M
+from fgs_nerf_tpu.optim.masked_adam import AdamState, ParamOpts, adam_update, init_state
+from fgs_nerf_tpu.ops.sdf2alpha import s_val_schedule
+from fgs_nerf_tpu.ops.tv import tv_grad
+from fgs_nerf_tpu.train import checkpoint as ckpt_lib
+from fgs_nerf_tpu.train import schedules
+from fgs_nerf_tpu.train.losses import LossWeights, compute_losses
+from fgs_nerf_tpu.data import rays as ray_lib
+from fgs_nerf_tpu.parallel.mesh import shard_batch
+
+
+def loss_weights_from_cfg(cfg_train) -> LossWeights:
+    return LossWeights(
+        weight_main=cfg_train.get("weight_main", 1.0),
+        weight_rgbper=cfg_train.get("weight_rgbper", 0.0),
+        weight_entropy_last=cfg_train.get("weight_entropy_last", 0.0),
+        weight_orientation=cfg_train.get("weight_orientation", 0.0),
+        sigmoid_rgb_loss=cfg_train.get("sigmoid_rgb_loss", 0.0),
+        weight_tv_density=cfg_train.get("weight_tv_density", 0.0),
+        weight_tv_k0=cfg_train.get("weight_tv_k0", 0.0),
+        ori_tv=cfg_train.get("ori_tv", False),
+    )
+
+
+def make_param_opts(params: Dict[str, Any], cfg_train) -> Dict[str, ParamOpts]:
+    skip = set(cfg_train.get("skip_zero_grad_fields", []))
+    return {
+        name: ParamOpts(skip_zero_grad=name in skip) for name in params
+    }
+
+
+def make_train_step(
+    cfg_model: M.SDFModelConfig,
+    box: SceneBox,
+    loss_w: LossWeights,
+    opts: Dict[str, ParamOpts],
+    *,
+    near: float,
+    bg: float,
+    n_rand: int,
+    sdf_tv: float,
+    smooth_grad_tv: float,
+    inject_tv: bool,
+    tv_dense: bool,
+    weight_tv_density: float,
+    weight_tv_k0: float,
+    use_nonempty_mask: bool,
+):
+    """Build the jitted train step for one (stage, rung, tv-config)."""
+
+    def step_fn(params, opt_state, buffers, rays_o, rays_d, viewdirs, target,
+                s_val, lrs, tv_on):
+        def loss_fn(p):
+            sv = p["s_val"][0] if cfg_model.s_learn else s_val
+            render = M.forward(
+                p, buffers, cfg_model, box, rays_o, rays_d, viewdirs, sv,
+                near=near, bg=bg,
+            )
+            nonempty = buffers.get("nonempty_mask") if use_nonempty_mask else None
+            losses = compute_losses(
+                render, target, viewdirs, p, cfg_model, loss_w,
+                sdf_tv=sdf_tv, smooth_grad_tv=smooth_grad_tv, tv_on=tv_on,
+                nonempty_mask=nonempty,
+            )
+            return losses["loss"], (render, losses)
+
+        (loss, (render, losses)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+
+        if inject_tv:
+            # fine-stage TV injected straight into the gradient
+            # (`model/nerf_training.py:353-371`, `model/nerf.py:461-467`:
+            # weight scaled by world_size.max()/128 and 1/N_rand).
+            scale = max(cfg_model.world_size) / 128.0
+            if weight_tv_density > 0 and sdf_tv > 0:
+                w = weight_tv_density * sdf_tv / n_rand * scale * tv_on
+                grads["sdf"] = tv_grad(
+                    params["sdf"], grads["sdf"], w, w, w, tv_dense
+                )
+            if weight_tv_k0 > 0:
+                wk = weight_tv_k0 / n_rand * scale * tv_on
+                grads["k0"] = tv_grad(
+                    params["k0"], grads["k0"], wk, wk, wk, tv_dense
+                )
+
+        new_params, new_opt = adam_update(params, grads, opt_state, lrs, opts)
+        if not cfg_model.s_learn:
+            new_params["s_val"] = jnp.full((1,), s_val, jnp.float32)
+
+        w_full = render["weights"]
+        wm = jnp.max(w_full, axis=-1)
+        ws = jnp.sum(w_full, axis=-1)
+        valid_ct = jnp.sum(render["valid"])
+        metrics = {
+            "loss": loss,
+            "mse": losses["mse"],
+            "wmax_mean": jnp.sum(wm * (wm > 0)) / jnp.maximum(jnp.sum(wm > 0), 1),
+            "wsum_mean": jnp.sum(ws * (ws > 0)) / jnp.maximum(jnp.sum(ws > 0), 1),
+            "w_nonzero_frac": jnp.mean((ws > 0).astype(jnp.float32)),
+            "mask_frac": jnp.sum(render["live"]) / jnp.maximum(valid_ct, 1),
+            "overflow_frac": jnp.mean(render["overflow"].astype(jnp.float32)),
+        }
+        return new_params, new_opt, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0, 1))
+
+
+@dataclasses.dataclass
+class StageResult:
+    params: Dict[str, Any]
+    cfg_model: M.SDFModelConfig
+    box: SceneBox
+    ckpt_path: str
+    psnr_history: list
+
+
+def train_stage(
+    cfg,
+    stage: str,
+    data_dict: Dict[str, Any],
+    xyz_min: np.ndarray,
+    xyz_max: np.ndarray,
+    out_dir: str,
+    *,
+    coarse_ckpt_path: Optional[str] = None,
+    mask_ckpt_path: Optional[str] = None,
+    mesh=None,
+    logger=None,
+    seed: int = 777,
+    i_print: int = 500,
+    n_iters_override: Optional[int] = None,
+) -> StageResult:
+    """Run one training stage end to end (`model/nerf_training.py:61`)."""
+    import logging
+    import os
+
+    log = logger or logging.getLogger("fgs")
+    from fgs_nerf_tpu.config.base import stage_blocks
+
+    cfg_model_blk, cfg_train = stage_blocks(cfg, stage)
+
+    # world bound scale (`model/nerf_training.py:73-76`)
+    wbs = cfg_model_blk.get("world_bound_scale", 1.0)
+    if abs(wbs - 1.0) > 1e-9:
+        shift = (xyz_max - xyz_min) * (wbs - 1.0) / 2.0
+        xyz_min = xyz_min - shift
+        xyz_max = xyz_max + shift
+    box = SceneBox.create(xyz_min, xyz_max)
+
+    # progressive-scale deduction (`model/nerf_training.py:93-101`)
+    scale_ratio = cfg_train.get("scale_ratio", 2)
+    pg_scale = list(cfg_train.get("pg_scale", []))
+    reset_iter = set(cfg_train.get("reset_iter", []))
+    num_voxels = int(cfg_model_blk["num_voxels"])
+    deduce = scale_ratio ** len(pg_scale)
+    cur_voxels = int(num_voxels / deduce)
+
+    model_keys = {f.name for f in dataclasses.fields(M.SDFModelConfig)}
+    passthrough = {
+        k: (tuple(v) if isinstance(v, list) else v)
+        for k, v in dict(cfg_model_blk).items()
+        if k in model_keys and k not in (
+            "stage", "num_voxels", "world_size", "voxel_size", "voxel_size_base",
+            "s_max",
+        )
+    }
+    passthrough["num_voxels_base"] = int(cfg_model_blk["num_voxels_base"])
+
+    def build_cfg(nv: int) -> M.SDFModelConfig:
+        return M.make_model_config(
+            stage=stage, xyz_min=xyz_min, xyz_max=xyz_max, num_voxels=nv,
+            **passthrough,
+        )
+
+    cfg_m = build_cfg(cur_voxels)
+    key = jax.random.PRNGKey(seed)
+    key, k_init = jax.random.split(key)
+    params = M.init_params(k_init, cfg_m)
+
+    # buffers: mask cache from the geometry-searching checkpoint
+    buffers: Dict[str, Any] = {}
+    if stage != "geometry_searching" and mask_ckpt_path and os.path.exists(mask_ckpt_path):
+        mc_ckpt = ckpt_lib.load_checkpoint(mask_ckpt_path)
+        prior_min, prior_max = mc_ckpt.box
+        buffers["mask_cache"] = M.build_mask_cache(
+            jnp.asarray(mc_ckpt.sdf_mask), prior_min, prior_max
+        )
+        params, buffers = M.set_nonempty_mask(params, buffers, cfg_m, box)
+
+    # fine stage: warm-start SDF from the coarse grid
+    # (`model/nerf_training.py:122-129`)
+    if stage == "fine" and coarse_ckpt_path and os.path.exists(coarse_ckpt_path):
+        c_ckpt = ckpt_lib.load_checkpoint(coarse_ckpt_path)
+        sdf0 = jnp.asarray(c_ckpt.params["sdf"])
+        params = M.init_sdf_from_sdf(
+            params, sdf0, cfg_m, reduce=cfg_train.get("sdf_reduce", 1.0)
+        )
+
+    if cfg_model_blk.get("maskout_near_cam_vox", False):
+        cam_o = jnp.asarray(
+            data_dict["poses"][data_dict["i_train"], :3, 3], jnp.float32
+        )
+        params = M.maskout_near_cam_vox(params, cam_o, data_dict["near"], cfg_m, box)
+
+    opt_state = init_state(params)
+    opts = make_param_opts(params, cfg_train)
+    loss_w = loss_weights_from_cfg(cfg_train)
+    lr_state = schedules.LrState(schedules.initial_lrs(cfg_train, set(params)))
+
+    near = float(data_dict["near"])
+    bg = 1.0 if cfg.data.white_bkgd else 0.0
+    n_rand = int(cfg_train["N_rand"])
+    tv_terms = dict(cfg_train.get("tv_terms", {}))
+
+    # ---- training rays -------------------------------------------------
+    rng = np.random.default_rng(seed)
+    images = np.asarray(data_dict["images"])[data_dict["i_train"]]
+    poses = np.asarray(data_dict["poses"])[data_dict["i_train"]]
+    hw = np.asarray(data_dict["HW"])[data_dict["i_train"]]
+    ks = np.asarray(data_dict["Ks"])[data_dict["i_train"]]
+    conv = dict(
+        ndc=cfg.data.ndc, inverse_y=cfg.data.inverse_y,
+        flip_x=cfg.data.flip_x, flip_y=cfg.data.flip_y,
+    )
+    sampler = cfg_train.get("ray_sampler", "random")
+    if sampler == "in_maskcache" and "mask_cache" in buffers:
+        mc = buffers["mask_cache"]
+        keep_fn = ray_lib.make_maskcache_pixel_filter(
+            box, cfg_m.world_size, cfg_m.stepsize, cfg_m.voxel_size,
+            lambda pts: M.mask_cache_query(mc, pts, cfg_m.mask_cache_thres),
+        )
+        rgb_tr, o_tr, d_tr, v_tr, ratio = ray_lib.get_training_rays_in_maskcache(
+            images, poses, hw, ks, keep_fn=keep_fn, near=near,
+            far=float(data_dict["far"]), **conv,
+        )
+        log.info(f"in_maskcache ray filter kept ratio {ratio:.3f}")
+        flat = True
+    elif sampler == "flatten" or sampler == "in_maskcache":
+        rgb_tr, o_tr, d_tr, v_tr = ray_lib.get_training_rays_flatten(
+            images, poses, hw, ks, **conv
+        )
+        flat = True
+    else:  # 'random'
+        rgb_tr, o_tr, d_tr, v_tr = ray_lib.get_training_rays(
+            images, poses, hw, ks, **conv
+        )
+        flat = False
+    if flat:
+        index_gen = ray_lib.batch_index_generator(len(rgb_tr), n_rand, seed)
+
+    # ---- step function cache ------------------------------------------
+    step_cache: Dict[Any, Any] = {}
+
+    def build_step(global_step):
+        sdf_tv = float(tv_terms.get("sdf_tv", 0.0))
+        smooth_grad_tv = float(tv_terms.get("smooth_grad_tv", 0.0))
+        tv_dense = global_step < cfg_train.get("tv_dense_before", 0)
+        inject_tv = not cfg_train.get("ori_tv", False)
+        key_ = (cfg_m, sdf_tv, smooth_grad_tv, tv_dense, inject_tv)
+        if key_ not in step_cache:
+            step_cache[key_] = make_train_step(
+                cfg_m, box, loss_w, opts,
+                near=near, bg=bg, n_rand=n_rand,
+                sdf_tv=sdf_tv, smooth_grad_tv=smooth_grad_tv,
+                inject_tv=inject_tv, tv_dense=tv_dense,
+                weight_tv_density=loss_w.weight_tv_density,
+                weight_tv_k0=loss_w.weight_tv_k0,
+                use_nonempty_mask="nonempty_mask" in buffers,
+            )
+        return step_cache[key_]
+
+    n_iters = n_iters_override or int(cfg_train["N_iters"])
+    psnr_hist = []
+    metric_acc: Dict[str, list] = {}
+    t0 = time.time()
+    time_log = {"ray_sample": 0.0, "render_opt": 0.0, "log": 0.0}
+
+    ckpt_path = os.path.join(out_dir, f"{stage}_last.npz")
+    os.makedirs(out_dir, exist_ok=True)
+
+    for global_step in range(1, n_iters + 1):
+        t_start = time.time()
+        # progressive scaling (`model/nerf_training.py:244-253`)
+        if global_step in pg_scale:
+            cur_voxels = int(cur_voxels * scale_ratio)
+            new_cfg = build_cfg(cur_voxels)
+            params = jax.device_get(params)
+            params = M.scale_volume_grid(params, new_cfg)
+            cfg_m = new_cfg
+            if global_step in reset_iter:
+                key, k_reset = jax.random.split(key)
+                params = M.reset_refnet(params, k_reset, cfg_m)
+                if cfg_model_blk.get("maskout_near_cam_vox", False):
+                    cam_o = jnp.asarray(
+                        data_dict["poses"][data_dict["i_train"], :3, 3], jnp.float32
+                    )
+                    params = M.maskout_near_cam_vox(params, cam_o, near, cfg_m, box)
+            if "mask_cache" in buffers:
+                params, buffers = M.set_nonempty_mask(params, buffers, cfg_m, box)
+            params = jax.tree.map(jnp.asarray, params)
+            opt_state = init_state(params)
+            lr_state = schedules.LrState(
+                schedules.initial_lrs(cfg_train, set(params))
+            )
+            log.info(
+                f"[{stage}] pg_scale at {global_step}: voxels -> {cur_voxels} "
+                f"world_size -> {cfg_m.world_size}"
+            )
+
+        # incremental voxel box (`model/nerf_training.py:285-293`)
+        bounds = schedules.inc_bounds(global_step, cfg_train)
+        if bounds is not None:
+            buffers["inc_lower"] = jnp.asarray(bounds[0], jnp.float32)
+            buffers["inc_upper"] = jnp.asarray(bounds[1], jnp.float32)
+        else:
+            buffers.pop("inc_lower", None)
+            buffers.pop("inc_upper", None)
+
+        # batch selection
+        if flat:
+            sel = next(index_gen)
+            batch = (o_tr[sel], d_tr[sel], v_tr[sel], rgb_tr[sel])
+        else:
+            b = rng.integers(0, rgb_tr.shape[0], n_rand)
+            r = rng.integers(0, rgb_tr.shape[1], n_rand)
+            c = rng.integers(0, rgb_tr.shape[2], n_rand)
+            batch = (o_tr[b, r, c], d_tr[b, r, c], v_tr[b, r, c], rgb_tr[b, r, c])
+        rays_o_b, rays_d_b, viewdirs_b, target_b = shard_batch(mesh, *batch)
+        time_log["ray_sample"] += time.time() - t_start
+        t_start = time.time()
+
+        s_val = float(
+            s_val_schedule(global_step, cfg_m.s_ratio, cfg_m.s_start, cfg_m.step_start)
+        )
+        step_fn = build_step(global_step)
+        tv_on = 1.0 if schedules.tv_active(global_step, cfg_train) else 0.0
+        lrs = {
+            k: jnp.asarray(v, jnp.float32) for k, v in lr_state.lrs.items()
+        }
+        params, opt_state, metrics = step_fn(
+            params, opt_state, buffers, rays_o_b, rays_d_b, viewdirs_b, target_b,
+            jnp.asarray(s_val, jnp.float32), lrs, jnp.asarray(tv_on, jnp.float32),
+        )
+        time_log["render_opt"] += time.time() - t_start
+        t_start = time.time()
+
+        # host-side schedule updates (end of step)
+        schedules.update_lrs(lr_state, global_step, cfg_train)
+        schedules.apply_tv_updates(tv_terms, global_step, cfg_train)
+
+        # metrics stay on device until the log flush — a per-step
+        # float() would serialize the async dispatch pipeline.
+        metric_acc.setdefault("_pending", []).append(metrics)
+
+        if global_step % i_print == 0 or global_step == n_iters:
+            pending = [jax.device_get(m) for m in metric_acc.pop("_pending", [])]
+            means = {
+                k_: float(np.mean([m[k_] for m in pending]))
+                for k_ in (pending[0] if pending else {})
+            }
+            psnrs = [-10.0 * np.log10(max(float(m["mse"]), 1e-12)) for m in pending]
+            psnr_hist.extend(psnrs)
+            eps = time.time() - t0
+            log.info(
+                f"[{stage}] iter {global_step:6d}/{n_iters} loss {means['loss']:.6f} "
+                f"PSNR {np.mean(psnrs):5.2f} "
+                f"Wmax {means['wmax_mean']:.3f} Wsum {means['wsum_mean']:.3f} "
+                f"W>0 {means['w_nonzero_frac']:.3f} mask% {100*means['mask_frac']:.2f} "
+                f"ovf% {100*means['overflow_frac']:.3f} s {s_val:.4g} "
+                f"eps {eps:.0f}s "
+                f"(ray {time_log['ray_sample']:.1f}s step {time_log['render_opt']:.1f}s)"
+            )
+
+        if global_step == n_iters or global_step % int(cfg_train.get("save_iter", 1 << 30)) == 0:
+            sdf_mask = M.build_sdf_mask(params, cfg_m)
+            ckpt_lib.save_checkpoint(
+                ckpt_path,
+                global_step=global_step,
+                params=params,
+                opt_state=opt_state,
+                sdf_mask=sdf_mask,
+                model_kwargs=dataclasses.asdict(cfg_m),
+                xyz_min=np.asarray(box.xyz_min),
+                xyz_max=np.asarray(box.xyz_max),
+                lrs=lr_state.lrs,
+            )
+            log.info(f"[{stage}] checkpoint saved at {ckpt_path}")
+
+        time_log["log"] += time.time() - t_start
+
+    return StageResult(
+        params=params, cfg_model=cfg_m, box=box, ckpt_path=ckpt_path,
+        psnr_history=psnr_hist,
+    )
