@@ -1,0 +1,99 @@
+"""Benchmark: training rays/s per chip on the real TPU.
+
+Measures the full jitted training step (forward + losses + backward +
+masked Adam) of the coarse-stage SDF voxel model at the reference's
+workload shape: 8192 rays/step, ~115^3 grid (1.5M voxels), stepsize 0.5
+(`config/shiny_blender.py:107,149,162` — see BASELINE.md).
+
+The reference publishes no numbers; BASELINE.md documents the estimate
+used for ``vs_baseline``: a single modern CUDA GPU running the
+reference's ragged CUDA pipeline at roughly REF_RAYS_PER_S rays/s
+(a 15k-iteration coarse stage in ~25 min).  The driver records the JSON
+line on real TPU hardware.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REF_RAYS_PER_S = 20_000.0  # documented estimate, see BASELINE.md
+N_RAND = 8192
+N_WARMUP = 3
+N_ITERS = 20
+
+
+def main():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import jax
+    import jax.numpy as jnp
+
+    from fgs_nerf_tpu.core.box import SceneBox
+    from fgs_nerf_tpu.models import sdf_voxel as M
+    from fgs_nerf_tpu.optim.masked_adam import ParamOpts, init_state
+    from fgs_nerf_tpu.train.losses import LossWeights
+    from fgs_nerf_tpu.train.trainer import make_train_step
+
+    xyz_min = np.array([-1.0, -1.0, -1.0], np.float32)
+    xyz_max = np.array([1.0, 1.0, 1.0], np.float32)
+    cfg = M.make_model_config(
+        stage="coarse", xyz_min=xyz_min, xyz_max=xyz_max,
+        num_voxels=1_500_000, num_voxels_base=1_500_000, stepsize=0.5,
+        k0_dim=12, refnet_width=192, refnet_depth=3,
+        posbase_pe=5, viewbase_pe=1, refbase_pe=5,
+        smooth_ksize=5, smooth_sigma=0.8,
+        s_ratio=50.0, s_start=0.2, fast_color_thres=1e-4, shade_k=256,
+    )
+    box = SceneBox.create(xyz_min, xyz_max)
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+
+    loss_w = LossWeights(
+        weight_main=1.0, weight_rgbper=0.2, weight_entropy_last=1e-3,
+        weight_orientation=1e-4, sigmoid_rgb_loss=0.1,
+        weight_tv_density=0.01, weight_tv_k0=0.0, ori_tv=True,
+    )
+    opts = {
+        name: ParamOpts(skip_zero_grad=name in ("k0", "sdf")) for name in params
+    }
+    step = make_train_step(
+        cfg, box, loss_w, opts, near=0.2, bg=1.0, n_rand=N_RAND,
+        sdf_tv=0.1, smooth_grad_tv=0.05, inject_tv=False, tv_dense=True,
+        weight_tv_density=0.01, weight_tv_k0=0.0, use_nonempty_mask=False,
+    )
+    opt_state = init_state(params)
+    lrs = {"sdf": jnp.asarray(0.1), "k0": jnp.asarray(0.1),
+           "refnet": jnp.asarray(1e-3)}
+
+    rng = np.random.default_rng(0)
+    cam = np.array([0.0, 0.0, 3.5], np.float32)
+    rays_o = np.broadcast_to(cam, (N_RAND, 3)).copy()
+    look = rng.normal(size=(N_RAND, 3)).astype(np.float32) * 0.4
+    rays_d = look - rays_o
+    viewdirs = rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True)
+    target = rng.uniform(size=(N_RAND, 3)).astype(np.float32)
+    batch = tuple(jnp.asarray(a) for a in (rays_o, rays_d, viewdirs, target))
+    s_val = jnp.asarray(0.2, jnp.float32)
+    tv_on = jnp.asarray(1.0, jnp.float32)
+
+    for _ in range(N_WARMUP):
+        params, opt_state, metrics = step(params, opt_state, {}, *batch, s_val, lrs, tv_on)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(N_ITERS):
+        params, opt_state, metrics = step(params, opt_state, {}, *batch, s_val, lrs, tv_on)
+    jax.block_until_ready(metrics["loss"])
+    dt = (time.perf_counter() - t0) / N_ITERS
+
+    rays_per_s = N_RAND / dt
+    print(json.dumps({
+        "metric": "train_rays_per_s",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_s / REF_RAYS_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

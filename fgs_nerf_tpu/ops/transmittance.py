@@ -73,7 +73,10 @@ def _bwd(res, grads):
     gww = g_w * weights
     suffix = jnp.flip(jnp.cumsum(jnp.flip(gww, axis=-1), axis=-1), axis=-1) - gww
     back_cum = g_last[..., None] * alphainv_last[..., None] + suffix
-    grad_alpha = g_w * t - back_cum / (1.0 - a_eff + _GUARD)
+    # maximum() rather than the reference's `(1-alpha)+1e-10`: XLA may
+    # reassociate the literal add into `(1+1e-10)-alpha`, which rounds
+    # back to `1-alpha` in fp32 and reintroduces the 0/0 at alpha == 1.
+    grad_alpha = g_w * t - back_cum / jnp.maximum(1.0 - a_eff, _GUARD)
     grad_alpha = jnp.where(processed, grad_alpha, 0.0)
     return grad_alpha, None
 
