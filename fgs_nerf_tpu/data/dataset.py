@@ -1,0 +1,91 @@
+"""Dataset dispatcher: normalize every loader to the reference's
+``data_dict`` contract (`lib/load_data.py:18-249`,
+`model/dataset.py:6-32`): keys HW, Ks, near, far, i_train/val/test,
+poses, render_poses, images, masks, scale_mats_np, irregular_shape.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+
+def inward_nearfar_heuristic(cam_o: np.ndarray, ratio: float = 0.05):
+    """`lib/load_data.py:252-256`."""
+    dist = np.linalg.norm(cam_o[:, None] - cam_o, axis=-1)
+    far = float(dist.max())
+    return far * ratio, far
+
+
+def load_dataset(cfg) -> Dict:
+    d = cfg.data
+    dtype = d.dataset_type
+    scale_mats_np = None
+    masks = None
+    k = None
+
+    if dtype == "blender":
+        from fgs_nerf_tpu.data.blender import load_blender_data
+
+        out = load_blender_data(d.datadir, d.get("half_res", False), d.get("testskip", 1))
+        images, poses = out["images"], out["poses"]
+        render_poses, hwf = out["render_poses"], out["hwf"]
+        i_train, i_val, i_test = out["i_split"]
+        near, far = 2.0, 6.0
+        if images.shape[-1] == 4:
+            if d.white_bkgd:
+                images = images[..., :3] * images[..., -1:] + (1.0 - images[..., -1:])
+            else:
+                images = images[..., :3] * images[..., -1:]
+    elif dtype == "dtu":
+        from fgs_nerf_tpu.data.dtu import load_dtu_data
+
+        out = load_dtu_data(
+            d.datadir, reso_level=cfg.get("reso_level", 2),
+            mask=True, white_bg=d.white_bkgd,
+        )
+        images, poses = out["images"], out["poses"]
+        render_poses, hwf = out["render_poses"], out["hwf"]
+        i_train, i_val, i_test = out["i_split"]
+        # train_all=True for DTU (`lib/load_data.py:78-79`)
+        i_train = np.arange(len(images))
+        near, far = inward_nearfar_heuristic(poses[i_train, :3, 3])
+        scale_mats_np = out["scale_mats_np"]
+        masks = out["masks"]
+        k = out["K"]
+    elif dtype == "synthetic":
+        from fgs_nerf_tpu.data.synthetic import make_synthetic_dataset
+
+        return make_synthetic_dataset()
+    else:
+        raise NotImplementedError(
+            f"dataset_type {dtype!r}; supported: blender, dtu, synthetic"
+        )
+
+    h, w, focal = hwf
+    h, w = int(h), int(w)
+    hw = np.array([im.shape[:2] for im in images])
+    if k is None:
+        k = np.array([[focal, 0, 0.5 * w], [0, focal, 0.5 * h], [0, 0, 1]])
+    ks = k[None].repeat(len(poses), axis=0) if k.ndim == 2 else k
+    if masks is None:
+        masks = images.mean(-1) > 0  # brightness mask (`lib/load_data.py:234-235`)
+    elif masks.ndim == 4:
+        masks = masks.mean(-1)
+
+    return dict(
+        hwf=[h, w, focal],
+        HW=hw,
+        Ks=ks,
+        near=near,
+        far=far,
+        i_train=np.asarray(i_train),
+        i_val=np.asarray(i_val),
+        i_test=np.asarray(i_test),
+        poses=np.asarray(poses),
+        render_poses=np.asarray(render_poses)[..., :4],
+        images=np.asarray(images, np.float32),
+        masks=np.asarray(masks, np.float32),
+        irregular_shape=images.dtype == object,
+        scale_mats_np=scale_mats_np,
+    )

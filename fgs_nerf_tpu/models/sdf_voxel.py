@@ -97,6 +97,7 @@ class SDFModelConfig:
     fast_color_thres: float = 1e-4
     mask_cache_thres: float = 1e-3
     shade_k: int = 0  # 0 = dense shading; >0 = top-K compacted shading
+    sample_k: int = 0  # 0 = full lattice; >0 = compact valid samples to k slots
 
     @property
     def is_fine(self) -> bool:
@@ -379,6 +380,27 @@ def _safe_norm(x, axis=-1):
     return jnp.sqrt(jnp.maximum(jnp.sum(x**2, axis=axis, keepdims=True), 1e-24))
 
 
+def _compact_valid(pts, valid, k):
+    """Compact the sample axis to the first ``k`` valid slots per ray.
+
+    Exact when no ray has more than ``k`` valid samples (dropped slots
+    are only the masked-out ones): scoring by ``-step`` keeps surviving
+    samples in ascending step order, so the transmittance scan over the
+    compacted axis equals the scan over the full lattice.  Returns
+    (pts [N,k,3], valid [N,k], steps [N,k] original step ids,
+    overflow [N]).
+    """
+    s = valid.shape[-1]
+    step_ids = jnp.arange(s, dtype=jnp.float32)
+    score = jnp.where(valid, -step_ids, -jnp.inf)
+    vals, idx = jax.lax.top_k(score, k)
+    new_valid = vals > -jnp.inf
+    new_pts = jnp.take_along_axis(pts, idx[..., None], axis=1)
+    steps = idx.astype(jnp.float32)
+    overflow = jnp.sum(valid, axis=-1) > k
+    return new_pts, new_valid, steps, overflow
+
+
 def _topk_select(weights, live, k):
     """Per-ray top-k sample selection by weight; returns (idx [N,k],
     sel_live [N,k]).  Order-free because compositing is a weighted sum."""
@@ -427,13 +449,26 @@ def forward_coarse(
             buffers["inc_lower"], buffers["inc_upper"], pts, box, cfg.world_size
         )
 
+    if 0 < cfg.sample_k < cfg.s_max:
+        pts, valid, steps, sample_overflow = _compact_valid(pts, valid, cfg.sample_k)
+    else:
+        steps = jnp.broadcast_to(
+            jnp.arange(cfg.s_max, dtype=jnp.float32), valid.shape
+        )
+        sample_overflow = jnp.zeros((n,), bool)
+
     sdf_grid = params["sdf"]
     if cfg.smooth_sdf:
         sdf_grid = smooth_grid(sdf_grid, cfg.smooth_ksize, cfg.smooth_sigma)
-    sdf = trilinear_sample(sdf_grid, pts, box)[..., 0]  # [N, S]
     # Gradient field is built from the RAW sdf grid (`model/nerf.py:972`).
+    # Fused into one 4-channel gather with the (smoothed) sdf: gather
+    # cost on TPU is per-row, not per-byte, so sampling [sdf | grad]
+    # together halves the pass-1 gather rows.
     grad_field = sdf_gradient(params["sdf"], cfg.voxel_size, cfg.grad_mode)
-    gradient = trilinear_sample(grad_field, pts, box)  # [N, S, 3]
+    field4 = jnp.concatenate([sdf_grid, grad_field], axis=-1)
+    samp = trilinear_sample(field4, pts, box)  # [N, S, 4]
+    sdf = samp[..., 0]
+    gradient = samp[..., 1:4]
 
     dist = jnp.asarray(cfg.step_dist, jnp.float32)
     alpha = neus_alpha(viewdirs, sdf, gradient, dist, s_val)
@@ -478,8 +513,7 @@ def forward_coarse(
         1.0,
     )
     normal_marched = jnp.sum(w_full[..., None] * normal, axis=1)
-    step_ids = jnp.arange(cfg.s_max, dtype=jnp.float32)
-    depth = jax.lax.stop_gradient(jnp.sum(w_full * step_ids * dist, axis=-1))
+    depth = jax.lax.stop_gradient(jnp.sum(w_full * steps * dist, axis=-1))
 
     return {
         "rgb_marched": rgb_marched,
@@ -496,7 +530,7 @@ def forward_coarse(
         "sel_weights": s_weights,
         "sel_rgb": rgb,
         "sel_live": sel_live,
-        "overflow": overflow,
+        "overflow": overflow | sample_overflow,
         "s_val": s_val,
     }
 
@@ -528,6 +562,14 @@ def forward_fine(
 
     if "mask_cache" in buffers:
         valid = valid & mask_cache_query(buffers["mask_cache"], pts, cfg.mask_cache_thres)
+
+    if 0 < cfg.sample_k < cfg.s_max:
+        pts, valid, steps, sample_overflow = _compact_valid(pts, valid, cfg.sample_k)
+    else:
+        steps = jnp.broadcast_to(
+            jnp.arange(cfg.s_max, dtype=jnp.float32), valid.shape
+        )
+        sample_overflow = jnp.zeros((n,), bool)
 
     sdf_grid = params["sdf"]
     if cfg.smooth_sdf:
@@ -583,8 +625,7 @@ def forward_fine(
         1.0,
     )
     normal_marched = jnp.sum(w_eff[..., None] * normal, axis=1)
-    step_ids = jnp.arange(cfg.s_max, dtype=jnp.float32)
-    depth = jax.lax.stop_gradient(jnp.sum(w_eff * step_ids * dist, axis=-1))
+    depth = jax.lax.stop_gradient(jnp.sum(w_eff * steps * dist, axis=-1))
 
     return {
         "rgb_marched": rgb_marched,
@@ -601,7 +642,7 @@ def forward_fine(
         "sel_weights": s_weights,
         "sel_rgb": rgb,
         "sel_live": sel_live,
-        "overflow": overflow,
+        "overflow": overflow | sample_overflow,
         "s_val": s_val,
     }
 

@@ -41,11 +41,42 @@ def gaussian_kernel_3d(ksize: int, sigma: float) -> np.ndarray:
     return (k / k.sum()).astype(np.float32)
 
 
+def _conv1d_axis_edge(grid: jnp.ndarray, k1d: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Separable 1-D conv along one spatial axis with edge padding,
+    implemented as a shift-and-add (fuses into a few adds under XLA,
+    far cheaper than a dense k^3 conv)."""
+    r = len(k1d) // 2
+    pad = [(0, 0)] * grid.ndim
+    pad[axis] = (r, r)
+    x = jnp.pad(grid, pad, mode="edge")
+    n = grid.shape[axis]
+    out = None
+    for i, w in enumerate(k1d):
+        sl = jax.lax.slice_in_dim(x, i, i + n, axis=axis)
+        term = w * sl
+        out = term if out is None else out + term
+    return out
+
+
 def smooth_grid(grid: jnp.ndarray, ksize: int, sigma: float) -> jnp.ndarray:
-    """Gaussian-smooth a grid with replicate padding (`model/nerf.py:274-278`)."""
+    """Gaussian-smooth a grid with replicate padding (`model/nerf.py:274-278`).
+
+    The gaussian factorizes exactly (exp(-(x^2+y^2+z^2)) = product of
+    1-D gaussians), so this runs as three 1-D passes; normalization
+    uses the 3-D kernel sum to match the reference bit-for-bit up to
+    fp reassociation.
+    """
     if ksize <= 0:
         return grid
-    return _conv3d_same_edge(grid, jnp.asarray(gaussian_kernel_3d(ksize, sigma)))
+    r = np.arange(-(ksize // 2), ksize // 2 + 1, 1, dtype=np.float64)
+    g1 = np.exp(-(r**2) / (2.0 * sigma**2))
+    # normalized 1-D passes compose to the normalized 3-D kernel
+    # (sum of the separable 3-D kernel == g1.sum()^3)
+    g1 = (g1 / g1.sum()).astype(np.float32)
+    out = grid
+    for axis in range(3):
+        out = _conv1d_axis_edge(out, g1, axis)
+    return out
 
 
 _BASE_KERNEL = np.asarray(

@@ -178,3 +178,22 @@ def test_scale_volume_grid_and_sdf_mask(rng):
     mask = M.build_sdf_mask(params, cfg)
     gold = _np.where(_np.asarray(params["sdf"]) < 0.5, 1e-3, 0.0)
     _np.testing.assert_allclose(_np.asarray(mask), gold, atol=0)
+
+
+def test_sample_k_compaction_matches_dense(rng):
+    # capacity >= s_max keeps every valid sample -> bitwise-equal render
+    for stage in ("coarse", "fine"):
+        cfg_d, box = tiny_cfg(stage)
+        params = M.init_params(jax.random.PRNGKey(7), cfg_d)
+        cfg_c = dataclasses.replace(cfg_d, sample_k=cfg_d.s_max - 8)
+        rays_o, rays_d, viewdirs = make_rays(rng, 12)
+        args = (rays_o, rays_d, viewdirs, jnp.asarray(0.1))
+        dense = M.forward(params, {}, cfg_d, box, *args, near=0.2, bg=1.0)
+        comp = M.forward(params, {}, cfg_c, box, *args, near=0.2, bg=1.0)
+        ok = ~np.asarray(comp["overflow"])  # rays whose valid set fit
+        assert ok.any()
+        for key in ("rgb_marched", "cum_weights", "alphainv_cum", "depth"):
+            np.testing.assert_allclose(
+                np.asarray(dense[key])[ok], np.asarray(comp[key])[ok],
+                atol=1e-5, err_msg=f"{stage}:{key}",
+            )
