@@ -1,0 +1,88 @@
+"""Sharded training: dp-sharded step equals the single-device step, and
+the graft-entry multichip dry run works on the virtual CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fgs_nerf_tpu.core.box import SceneBox
+from fgs_nerf_tpu.models import sdf_voxel as M
+from fgs_nerf_tpu.optim.masked_adam import ParamOpts, init_state
+from fgs_nerf_tpu.train.losses import LossWeights
+from fgs_nerf_tpu.train.trainer import make_train_step
+
+
+def setup(n_rays=32):
+    xyz_min = np.array([-1.0, -1.0, -1.0], np.float32)
+    xyz_max = np.array([1.0, 1.0, 1.0], np.float32)
+    cfg = M.make_model_config(
+        stage="coarse", xyz_min=xyz_min, xyz_max=xyz_max,
+        num_voxels=16**3, num_voxels_base=16**3, stepsize=0.5, k0_dim=4,
+        refnet_width=16, refnet_depth=3, posbase_pe=2, viewbase_pe=1,
+        refbase_pe=2, s_ratio=50.0, s_start=0.2, shade_k=16,
+    )
+    box = SceneBox.create(xyz_min, xyz_max)
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(3)
+    rays_o = np.full((n_rays, 3), [0, 0, 3.0], np.float32)
+    rays_o += rng.normal(size=(n_rays, 3)).astype(np.float32) * 0.2
+    look = rng.normal(size=(n_rays, 3)).astype(np.float32) * 0.3
+    rays_d = look - rays_o
+    viewdirs = rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True)
+    target = rng.uniform(size=(n_rays, 3)).astype(np.float32)
+    batch = tuple(jnp.asarray(a) for a in (rays_o, rays_d, viewdirs, target))
+    loss_w = LossWeights(weight_main=1.0, weight_entropy_last=1e-3,
+                         weight_orientation=1e-4, sigmoid_rgb_loss=0.1,
+                         weight_tv_density=0.01, ori_tv=True)
+    opts = {name: ParamOpts(skip_zero_grad=name in ("k0", "sdf")) for name in params}
+    step = make_train_step(
+        cfg, box, loss_w, opts, near=0.2, bg=1.0, n_rand=n_rays,
+        sdf_tv=0.1, smooth_grad_tv=0.05, inject_tv=False, tv_dense=True,
+        weight_tv_density=0.01, weight_tv_k0=0.0, use_nonempty_mask=False,
+    )
+    lrs = {"sdf": jnp.asarray(0.1), "k0": jnp.asarray(0.1),
+           "refnet": jnp.asarray(1e-3)}
+    return cfg, params, batch, step, lrs
+
+
+def run_step(step, params, batch, lrs, mesh=None):
+    opt_state = init_state(params)
+    args = (jnp.asarray(0.2, jnp.float32), lrs, jnp.asarray(1.0, jnp.float32))
+    if mesh is None:
+        p, b = params, batch
+    else:
+        bs = NamedSharding(mesh, P("dp"))
+        repl = NamedSharding(mesh, P())
+        p = jax.device_put(params, repl)
+        opt_state = jax.device_put(opt_state, repl)
+        b = tuple(jax.device_put(x, bs) for x in batch)
+    new_p, new_opt, metrics = step(p, opt_state, {}, *b, *args)
+    return jax.device_get(new_p), jax.device_get(metrics)
+
+
+def test_dp_sharded_step_matches_single_device():
+    cfg, params, batch, step, lrs = setup(n_rays=32)
+    p1, m1 = run_step(step, params, batch, lrs, mesh=None)
+
+    cfg, params, batch, step2, lrs = setup(n_rays=32)
+    devices = jax.devices()[:4]
+    mesh = Mesh(np.asarray(devices), ("dp",))
+    p4, m4 = run_step(step2, params, batch, lrs, mesh=mesh)
+
+    assert abs(m1["loss"] - m4["loss"]) < 1e-5
+    np.testing.assert_allclose(p1["sdf"], p4["sdf"], atol=2e-6)
+    np.testing.assert_allclose(
+        p1["refnet"]["w0"], p4["refnet"]["w0"], atol=2e-6
+    )
+
+
+def test_graft_dryrun_multichip():
+    import importlib.util, os
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__",
+        os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
