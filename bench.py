@@ -26,7 +26,14 @@ N_ITERS = 20
 
 def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    # full-step compiles run minutes on the tunneled TPU; persist them
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
     import jax
+
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from fgs_nerf_tpu.core.box import SceneBox

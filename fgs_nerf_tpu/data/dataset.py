@@ -53,13 +53,49 @@ def load_dataset(cfg) -> Dict:
         scale_mats_np = out["scale_mats_np"]
         masks = out["masks"]
         k = out["K"]
+    elif dtype == "llff":
+        from fgs_nerf_tpu.data.llff import load_llff_data
+
+        images, poses, bds, render_poses, i_hold = load_llff_data(
+            d.datadir, d.get("factor", 1), recenter=True,
+            bd_factor=1, spherify=d.get("spherify", False),
+        )
+        hwf = poses[0, :3, -1]
+        poses = poses[:, :3, :4]
+        llffhold = d.get("llffhold", 8)
+        i_test = (
+            np.arange(images.shape[0])[::llffhold] if llffhold > 0
+            else np.array([i_hold])
+        )
+        i_val = i_test
+        i_train = np.array(
+            [i for i in range(images.shape[0]) if i not in i_test]
+        )
+        if d.get("ndc", False):
+            near, far = 0.0, 1.0
+        else:
+            near, far = float(bds.min()) * 0.9, float(bds.max())
+        hwf = [int(hwf[0]), int(hwf[1]), float(hwf[2])]
+    elif dtype == "nsvf":
+        from fgs_nerf_tpu.data.nsvf import load_nsvf_data
+
+        out = load_nsvf_data(d.datadir)
+        images, poses = out["images"], out["poses"]
+        render_poses, hwf = out["render_poses"], out["hwf"]
+        i_train, i_val, i_test = out["i_split"]
+        near, far = inward_nearfar_heuristic(poses[i_train, :3, 3])
+        if images.shape[-1] == 4:
+            if d.white_bkgd:
+                images = images[..., :3] * images[..., -1:] + (1.0 - images[..., -1:])
+            else:
+                images = images[..., :3] * images[..., -1:]
     elif dtype == "synthetic":
         from fgs_nerf_tpu.data.synthetic import make_synthetic_dataset
 
         return make_synthetic_dataset()
     else:
         raise NotImplementedError(
-            f"dataset_type {dtype!r}; supported: blender, dtu, synthetic"
+            f"dataset_type {dtype!r}; supported: blender, dtu, llff, nsvf, synthetic"
         )
 
     h, w, focal = hwf

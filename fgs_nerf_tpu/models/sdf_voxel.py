@@ -333,6 +333,55 @@ def inc_mask_query(
     return inside & inb
 
 
+def voxel_count_views(
+    cfg: SDFModelConfig,
+    box: SceneBox,
+    rays_o_views: np.ndarray,  # [V, H, W, 3]
+    rays_d_views: np.ndarray,
+    near: float,
+    far: float,
+    stepsize: float,
+    downrate: int = 1,
+) -> jnp.ndarray:
+    """Per-voxel count of views whose rays deposit >1 accumulated
+    trilinear weight (`model/nerf.py:398-428`): drives the per-voxel
+    learning rate and the low-visibility SDF clamp.
+
+    The reference backprops a ones-grid through grid_sample; the
+    gradient of ``sum(trilinear(ones, pts))`` w.r.t. the grid is
+    exactly the accumulated interpolation weight, computed here with
+    one jitted vjp per view.
+    """
+    n_samples = int(
+        np.linalg.norm(np.asarray(cfg.world_size) + 1) / stepsize
+    ) + 1
+
+    @jax.jit
+    def view_weight(rays_o, rays_d):
+        vec = jnp.where(rays_d == 0, 1e-6, rays_d)
+        rate_a = (box.xyz_max - rays_o) / vec
+        rate_b = (box.xyz_min - rays_o) / vec
+        t_min = jnp.clip(jnp.max(jnp.minimum(rate_a, rate_b), -1), near, far)
+        rng_steps = jnp.arange(n_samples, dtype=jnp.float32)
+        step = stepsize * cfg.voxel_size * rng_steps
+        interpx = t_min[:, None] + step[None, :] / jnp.linalg.norm(
+            rays_d, axis=-1, keepdims=True
+        )
+        pts = rays_o[:, None, :] + rays_d[:, None, :] * interpx[..., None]
+        ones = jnp.ones((*cfg.world_size, 1), jnp.float32)
+        _, vjp = jax.vjp(
+            lambda g: jnp.sum(trilinear_sample(g, pts, box)), ones
+        )
+        return vjp(jnp.ones(()))[0]
+
+    count = jnp.zeros((*cfg.world_size, 1), jnp.float32)
+    for v in range(len(rays_o_views)):
+        ro = jnp.asarray(rays_o_views[v][::downrate, ::downrate].reshape(-1, 3))
+        rd = jnp.asarray(rays_d_views[v][::downrate, ::downrate].reshape(-1, 3))
+        count = count + (view_weight(ro, rd) > 1.0).astype(jnp.float32)
+    return count
+
+
 # ---------------------------------------------------------------------------
 # Progressive scaling / cross-stage init
 # ---------------------------------------------------------------------------

@@ -108,7 +108,10 @@ def make_train_step(
                     params["k0"], grads["k0"], wk, wk, wk, tv_dense
                 )
 
-        new_params, new_opt = adam_update(params, grads, opt_state, lrs, opts)
+        new_params, new_opt = adam_update(
+            params, grads, opt_state, lrs, opts,
+            per_lr=buffers.get("per_lr"),
+        )
         if not cfg_model.s_learn:
             new_params["s_val"] = jnp.full((1,), s_val, jnp.float32)
 
@@ -154,6 +157,7 @@ def train_stage(
     seed: int = 777,
     i_print: int = 500,
     n_iters_override: Optional[int] = None,
+    resume: bool = False,
 ) -> StageResult:
     """Run one training stage end to end (`model/nerf_training.py:61`)."""
     import logging
@@ -265,13 +269,28 @@ def train_stage(
             images, poses, hw, ks, **conv
         )
         flat = True
-    else:  # 'random'
+    else:  # 'random' / 'patch'
         rgb_tr, o_tr, d_tr, v_tr = ray_lib.get_training_rays(
             images, poses, hw, ks, **conv
         )
         flat = False
     if flat:
         index_gen = ray_lib.batch_index_generator(len(rgb_tr), n_rand, seed)
+    elif sampler == "patch":
+        view_gen = ray_lib.batch_index_generator(len(rgb_tr), 1, seed)
+
+    # per-voxel LR from visibility counts (`model/nerf_training.py:189-198`)
+    if cfg_train.get("pervoxel_lr", False):
+        if flat:
+            raise ValueError("pervoxel_lr requires a per-view ray sampler")
+        cnt = M.voxel_count_views(
+            cfg_m, box, o_tr, d_tr, near, float(data_dict["far"]),
+            cfg_m.stepsize, downrate=int(cfg_train.get("pervoxel_lr_downrate", 1)),
+        )
+        buffers["per_lr"] = {"sdf": cnt / jnp.maximum(cnt.max(), 1.0)}
+        opts["sdf"] = dataclasses.replace(opts["sdf"], has_per_lr=True)
+        params = dict(params)
+        params["sdf"] = jnp.where(cnt <= 2, 1.0, params["sdf"])
 
     # ---- step function cache ------------------------------------------
     step_cache: Dict[Any, Any] = {}
@@ -303,7 +322,29 @@ def train_stage(
     ckpt_path = os.path.join(out_dir, f"{stage}_last.npz")
     os.makedirs(out_dir, exist_ok=True)
 
-    for global_step in range(1, n_iters + 1):
+    # mid-stage resume (`model/utils.py:42-60` reload path): restore
+    # params, moments, LR state, and the progressive-scaling rung.
+    start = 0
+    if resume and os.path.exists(ckpt_path):
+        rck = ckpt_lib.load_checkpoint(ckpt_path)
+        start = min(rck.global_step, n_iters)
+        for _ in [p for p in pg_scale if p <= start]:
+            cur_voxels = int(cur_voxels * scale_ratio)
+        pg_scale = [p for p in pg_scale if p > start]
+        cfg_m = build_cfg(cur_voxels)
+        params = jax.tree.map(jnp.asarray, rck.params)
+        opt_state = init_state(params)
+        if rck.opt is not None:
+            opt_state = AdamState(
+                jnp.asarray(rck.opt["step"]),
+                jax.tree.map(jnp.asarray, rck.opt["exp_avg"]),
+                jax.tree.map(jnp.asarray, rck.opt["exp_avg_sq"]),
+            )
+        if rck.meta.get("lrs"):
+            lr_state = schedules.LrState(dict(rck.meta["lrs"]))
+        log.info(f"[{stage}] resumed from {ckpt_path} at step {start}")
+
+    for global_step in range(1 + start, n_iters + 1):
         t_start = time.time()
         # progressive scaling (`model/nerf_training.py:244-253`)
         if global_step in pg_scale:
@@ -327,6 +368,12 @@ def train_stage(
             lr_state = schedules.LrState(
                 schedules.initial_lrs(cfg_train, set(params))
             )
+            # reference quirk: per-voxel LR is not recomputed after a
+            # rescale — the shape check silently disables it
+            # (`model/adam.py:210`); mirror that by dropping it.
+            if "per_lr" in buffers:
+                buffers.pop("per_lr")
+                opts["sdf"] = dataclasses.replace(opts["sdf"], has_per_lr=False)
             log.info(
                 f"[{stage}] pg_scale at {global_step}: voxels -> {cur_voxels} "
                 f"world_size -> {cfg_m.world_size}"
@@ -341,10 +388,19 @@ def train_stage(
             buffers.pop("inc_lower", None)
             buffers.pop("inc_upper", None)
 
-        # batch selection
+        # batch selection (`model/nerf_training.py:256-283`)
         if flat:
             sel = next(index_gen)
             batch = (o_tr[sel], d_tr[sel], v_tr[sel], rgb_tr[sel])
+        elif sampler == "patch":
+            b = int(next(view_gen)[0])
+            patch = int(round(np.sqrt(n_rand)))
+            r0 = rng.integers(0, rgb_tr.shape[1] - patch)
+            c0 = rng.integers(0, rgb_tr.shape[2] - patch)
+            sl = np.s_[b, r0:r0 + patch, c0:c0 + patch]
+            batch = tuple(
+                a[sl].reshape(-1, 3) for a in (o_tr, d_tr, v_tr, rgb_tr)
+            )
         else:
             b = rng.integers(0, rgb_tr.shape[0], n_rand)
             r = rng.integers(0, rgb_tr.shape[1], n_rand)
