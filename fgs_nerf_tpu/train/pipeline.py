@@ -25,6 +25,9 @@ def run_training(
     mesh=None,
     logger: Optional[logging.Logger] = None,
     n_iters_override: Optional[Dict[str, int]] = None,
+    i_print: int = 500,
+    i_validate: int = 0,
+    resume: bool = False,
 ) -> Dict[str, StageResult]:
     log = logger or logging.getLogger("fgs")
     os.makedirs(out_dir, exist_ok=True)
@@ -39,7 +42,8 @@ def run_training(
         log.info(f"frustum bbox: {xyz_min} .. {xyz_max}")
         results["geometry_searching"] = train_stage(
             cfg, "geometry_searching", data_dict, xyz_min, xyz_max, out_dir,
-            mesh=mesh, logger=log,
+            mesh=mesh, logger=log, i_print=i_print, i_validate=i_validate,
+            resume=resume,
             n_iters_override=n_iters_override.get("geometry_searching"),
         )
 
@@ -51,6 +55,7 @@ def run_training(
         results["coarse"] = train_stage(
             cfg, "coarse", data_dict, xyz_min_t, xyz_max_t, out_dir,
             mask_ckpt_path=geo_ckpt, mesh=mesh, logger=log,
+            i_print=i_print, i_validate=i_validate, resume=resume,
             n_iters_override=n_iters_override.get("coarse"),
         )
 
@@ -58,7 +63,8 @@ def run_training(
         results["fine"] = train_stage(
             cfg, "fine", data_dict, xyz_min_t, xyz_max_t, out_dir,
             coarse_ckpt_path=coarse_ckpt, mask_ckpt_path=geo_ckpt,
-            mesh=mesh, logger=log,
+            mesh=mesh, logger=log, i_print=i_print, i_validate=i_validate,
+            resume=resume,
             n_iters_override=n_iters_override.get("fine"),
         )
 

@@ -158,6 +158,7 @@ def train_stage(
     i_print: int = 500,
     n_iters_override: Optional[int] = None,
     resume: bool = False,
+    i_validate: int = 0,
 ) -> StageResult:
     """Run one training stage end to end (`model/nerf_training.py:61`)."""
     import logging
@@ -429,6 +430,24 @@ def train_stage(
         schedules.update_lrs(lr_state, global_step, cfg_train)
         schedules.apply_tv_updates(tv_terms, global_step, cfg_train)
 
+        # step-indexed model mutations (`model/nerf_training.py:446-456`):
+        # s-schedule parameter overrides and smoothing-kernel swaps both
+        # change static model config -> a bounded retrace.
+        s_updates = cfg_model_blk.get("s_updates", {})
+        if (global_step - 1) in s_updates:
+            cfg_m = dataclasses.replace(cfg_m, **s_updates[global_step - 1])
+            log.info(f"[{stage}] s_updates at {global_step - 1}: "
+                     f"{s_updates[global_step - 1]}")
+        smooth_updates = cfg_model_blk.get("smooth_updates", {})
+        if (global_step - 1) in smooth_updates:
+            upd = {
+                ("smooth_ksize" if k_ == "ksize" else
+                 "smooth_sigma" if k_ == "sigma" else k_): v_
+                for k_, v_ in smooth_updates[global_step - 1].items()
+            }
+            cfg_m = dataclasses.replace(cfg_m, **upd)
+            log.info(f"[{stage}] smooth_updates at {global_step - 1}: {upd}")
+
         # metrics stay on device until the log flush — a per-step
         # float() would serialize the async dispatch pipeline.
         metric_acc.setdefault("_pending", []).append(metrics)
@@ -450,6 +469,26 @@ def train_stage(
                 f"ovf% {100*means['overflow_frac']:.3f} s {s_val:.4g} "
                 f"eps {eps:.0f}s "
                 f"(ray {time_log['ray_sample']:.1f}s step {time_log['render_opt']:.1f}s)"
+            )
+
+        # periodic visual validation (`model/nerf_training.py:482-503`):
+        # one random test view rendered with full PSNR/SSIM logging.
+        if i_validate and (global_step % i_validate == 0 or global_step == n_iters):
+            from fgs_nerf_tpu.eval.render import make_render_fn, render_viewpoints
+
+            i_test = np.asarray(data_dict["i_test"])
+            pick = [int(rng.integers(0, len(i_test)))] if global_step != n_iters else list(range(len(i_test)))
+            sel_views = i_test[pick]
+            rc = make_render_fn(cfg_m, box, near=near, bg=bg)
+            render_viewpoints(
+                rc, params, buffers,
+                np.asarray(data_dict["poses"])[sel_views],
+                np.asarray(data_dict["HW"])[sel_views],
+                np.asarray(data_dict["Ks"])[sel_views], conv, s_val,
+                gt_imgs=np.asarray(data_dict["images"])[sel_views],
+                masks=np.asarray(data_dict["masks"])[sel_views],
+                savedir=os.path.join(out_dir, f"render_test_{stage}"),
+                eval_ssim=True, logger=log, step=global_step,
             )
 
         if global_step == n_iters or global_step % int(cfg_train.get("save_iter", 1 << 30)) == 0:

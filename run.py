@@ -81,7 +81,8 @@ def main():
             stages.append("coarse")
         if args.fine_training:
             stages.append("fine")
-        results = run_training(cfg, data_dict, out_dir, stages=tuple(stages))
+        results = run_training(cfg, data_dict, out_dir, stages=tuple(stages),
+                               i_print=args.i_print, i_validate=args.i_validate)
         # end-of-training eval render + mesh of the last stage
         last = results[stages[-1]]
         _evaluate(args, cfg, data_dict, out_dir, last.cfg_model, None, log,
