@@ -27,12 +27,16 @@ N_ITERS = 20
 def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     # full-step compiles run minutes on the tunneled TPU; persist them
-    os.environ.setdefault(
-        "JAX_COMPILATION_CACHE_DIR",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-    )
     import jax
 
+    # per-backend cache dir: CPU AOT artifacts are machine-feature
+    # sensitive and must not mix with TPU entries
+    backend = jax.default_backend()
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache", backend),
+    )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 

@@ -41,6 +41,17 @@ def config_parser():
 
 def main():
     args = config_parser().parse_args()
+    import jax
+
+    # per-backend cache dir: CPU AOT artifacts are machine-feature
+    # sensitive and must not mix with TPU entries
+    backend = jax.default_backend()
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache", backend),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from fgs_nerf_tpu.config.base import load_config
     from fgs_nerf_tpu.data.dataset import load_dataset
 
