@@ -98,6 +98,7 @@ class SDFModelConfig:
     mask_cache_thres: float = 1e-3
     shade_k: int = 0  # 0 = dense shading; >0 = top-K compacted shading
     sample_k: int = 0  # 0 = full lattice; >0 = compact valid samples to k slots
+    mlp_bf16: bool = True  # bf16 MXU matmuls (fp32 accum + master weights)
 
     @property
     def is_fine(self) -> bool:
@@ -510,14 +511,17 @@ def forward_coarse(
     if cfg.smooth_sdf:
         sdf_grid = smooth_grid(sdf_grid, cfg.smooth_ksize, cfg.smooth_sigma)
     # Gradient field is built from the RAW sdf grid (`model/nerf.py:972`).
-    # Fused into one 4-channel gather with the (smoothed) sdf: gather
-    # cost on TPU is per-row, not per-byte, so sampling [sdf | grad]
-    # together halves the pass-1 gather rows.
+    # [sdf | grad | k0] are fused into ONE gather: TPU gather/scatter
+    # cost is per-row, not per-byte, so widening the row is free while
+    # a separate k0 gather (and its backward scatter) would cost the
+    # full row count again.  k0 values at unshaded slots carry no
+    # cotangent, so gradients are unchanged.
     grad_field = sdf_gradient(params["sdf"], cfg.voxel_size, cfg.grad_mode)
-    field4 = jnp.concatenate([sdf_grid, grad_field], axis=-1)
-    samp = trilinear_sample(field4, pts, box)  # [N, S, 4]
+    field = jnp.concatenate([sdf_grid, grad_field, params["k0"]], axis=-1)
+    samp = trilinear_sample(field, pts, box)  # [N, S, 4 + k0_dim]
     sdf = samp[..., 0]
     gradient = samp[..., 1:4]
+    k0_all = samp[..., 4:]
 
     dist = jnp.asarray(cfg.step_dist, jnp.float32)
     alpha = neus_alpha(viewdirs, sdf, gradient, dist, s_val)
@@ -538,16 +542,17 @@ def forward_coarse(
         idx, sel_live = _topk_select(weights, live, cfg.shade_k)
         s_pts = _gather_slots(pts, idx)
         s_normal = _gather_slots(normal, idx)
+        s_k0 = _gather_slots(k0_all, idx)
         s_weights = _gather_slots(weights, idx) * sel_live
         overflow = jnp.sum(live, axis=-1) > cfg.shade_k
     else:
-        s_pts, s_normal = pts, normal
+        s_pts, s_normal, s_k0 = pts, normal, k0_all
         s_weights = weights * live
         sel_live = live
         overflow = jnp.zeros((n,), bool)
 
     viewdirs_pts = jnp.broadcast_to(viewdirs[:, None, :], s_pts.shape)
-    rgb = _shade_coarse(params, cfg, box, s_pts, viewdirs_pts, s_normal, viewdirs)
+    rgb = _shade_coarse(params, cfg, box, s_pts, viewdirs_pts, s_normal, viewdirs, s_k0)
     sigmoid_rgb_pt = jax.nn.sigmoid(rgb)  # the double sigmoid (`model/nerf.py:1009-1010`)
 
     w_full = weights * live
@@ -584,12 +589,13 @@ def forward_coarse(
     }
 
 
-def _shade_coarse(params, cfg: SDFModelConfig, box, pts, viewdirs_pts, normal, viewdirs):
+def _shade_coarse(params, cfg: SDFModelConfig, box, pts, viewdirs_pts, normal,
+                  viewdirs, k0):
     """Coarse shading head (`model/nerf.py:993-1009`): refnet on
-    [k0, xyz_emb, reflect_emb, normal(, viewdirs_emb)] -> sigmoid."""
+    [k0, xyz_emb, reflect_emb, normal(, viewdirs_emb)] -> sigmoid.
+    k0 arrives pre-sampled from the fused field gather."""
     rays_xyz = box.normalize(pts)
     xyz_emb = sincos_encode(rays_xyz, freq_bank(cfg.posbase_pe))
-    k0 = trilinear_sample(params["k0"], pts, box)
     refl = reflect(viewdirs_pts, normal)
     reflect_emb = sincos_encode(refl, freq_bank(cfg.refbase_pe))
     feats = [k0, xyz_emb, reflect_emb, normal]
@@ -597,7 +603,9 @@ def _shade_coarse(params, cfg: SDFModelConfig, box, pts, viewdirs_pts, normal, v
         vd_emb = sincos_encode(viewdirs, freq_bank(cfg.viewbase_pe))  # [N, E]
         feats.append(jnp.broadcast_to(vd_emb[:, None, :], (*pts.shape[:2], vd_emb.shape[-1])))
     ref_feat = jnp.concatenate(feats, axis=-1)
-    return jax.nn.sigmoid(mlp_apply(params["refnet"], ref_feat))
+    return jax.nn.sigmoid(
+        mlp_apply(params["refnet"], ref_feat, bf16=cfg.mlp_bf16).astype(jnp.float32)
+    )
 
 
 def forward_fine(
@@ -623,7 +631,11 @@ def forward_fine(
     sdf_grid = params["sdf"]
     if cfg.smooth_sdf:
         sdf_grid = smooth_grid(sdf_grid, cfg.smooth_ksize, cfg.smooth_sigma)
-    sdf = trilinear_sample(sdf_grid, pts, box)[..., 0]
+    # fused [sdf | k0] gather — see the coarse forward's rationale
+    field = jnp.concatenate([sdf_grid, params["k0"]], axis=-1)
+    samp = trilinear_sample(field, pts, box)
+    sdf = samp[..., 0]
+    k0_all = samp[..., 1:]
     gradient, _ = center_gradient_taps(sdf_grid, pts, box, cfg.voxel_size)
 
     dist = jnp.asarray(cfg.step_dist, jnp.float32)
@@ -650,16 +662,19 @@ def forward_fine(
         s_sdf = _gather_slots(sdf, idx)
         s_normal = _gather_slots(normal, idx)
         s_gradient = _gather_slots(gradient, idx)
+        s_k0 = _gather_slots(k0_all, idx)
         s_weights = _gather_slots(weights, idx) * sel_live
         overflow = jnp.sum(live, axis=-1) > cfg.shade_k
     else:
         s_pts, s_sdf, s_normal, s_gradient = pts, sdf, normal, gradient
+        s_k0 = k0_all
         s_weights = w_eff
         sel_live = live
         overflow = jnp.zeros((n,), bool)
 
     rgb = _shade_fine(
-        params, cfg, box, sdf_grid, s_pts, s_sdf, s_gradient, s_normal, viewdirs
+        params, cfg, box, sdf_grid, s_pts, s_sdf, s_gradient, s_normal, viewdirs,
+        s_k0,
     )
     sigmoid_rgb_pt = jax.nn.sigmoid(rgb)
 
@@ -696,12 +711,13 @@ def forward_fine(
     }
 
 
-def _shade_fine(params, cfg: SDFModelConfig, box, sdf_grid, pts, sdf, gradient, normal, viewdirs):
+def _shade_fine(params, cfg: SDFModelConfig, box, sdf_grid, pts, sdf, gradient,
+                normal, viewdirs, k0):
     """Fine shading (`model/nerf.py:835-884`): rgbnet on hierarchical
-    SDF features, then refnet on [rgb_feat, reflect_emb]."""
+    SDF features, then refnet on [rgb_feat, reflect_emb].  k0 arrives
+    pre-sampled from the fused field gather."""
     rays_xyz = box.normalize(pts)
     xyz_emb = sincos_encode(rays_xyz, freq_bank(cfg.posbase_pe))
-    k0 = trilinear_sample(params["k0"], pts, box)
 
     displace = cfg.all_displace
     feats = [k0, xyz_emb]
@@ -720,10 +736,14 @@ def _shade_fine(params, cfg: SDFModelConfig, box, sdf_grid, pts, sdf, gradient, 
     # The reference appends the xyz-order center gradient last
     # (`model/nerf.py:865-876`, asserts k_grad_feat == (1.0,)).
     feats.append(gradient)
-    rgb_feat = mlp_apply(params["rgbnet"], jnp.concatenate(feats, axis=-1))
+    rgb_feat = mlp_apply(
+        params["rgbnet"], jnp.concatenate(feats, axis=-1), bf16=cfg.mlp_bf16
+    )
 
     viewdirs_pts = jnp.broadcast_to(viewdirs[:, None, :], pts.shape)
     refl = reflect(viewdirs_pts, normal)
     reflect_emb = sincos_encode(refl, freq_bank(cfg.refbase_pe))
-    ref_feat = jnp.concatenate([rgb_feat, reflect_emb], axis=-1)
-    return jax.nn.sigmoid(mlp_apply(params["refnet"], ref_feat))
+    ref_feat = jnp.concatenate([rgb_feat.astype(jnp.float32), reflect_emb], axis=-1)
+    return jax.nn.sigmoid(
+        mlp_apply(params["refnet"], ref_feat, bf16=cfg.mlp_bf16).astype(jnp.float32)
+    )
