@@ -89,13 +89,30 @@ def load_dataset(cfg) -> Dict:
                 images = images[..., :3] * images[..., -1:] + (1.0 - images[..., -1:])
             else:
                 images = images[..., :3] * images[..., -1:]
+    elif dtype in ("tankstemple", "blendedmvs"):
+        if dtype == "tankstemple":
+            from fgs_nerf_tpu.data.nsvf_like import load_tankstemple_data as _ld
+        else:
+            from fgs_nerf_tpu.data.nsvf_like import load_blendedmvs_data as _ld
+        out = _ld(d.datadir)
+        images, poses = out["images"], out["poses"]
+        render_poses, hwf = out["render_poses"], out["hwf"]
+        i_train, i_val, i_test = out["i_split"]
+        k = out["K"]
+        ratio = 0.0 if dtype == "tankstemple" else 0.05
+        near, far = inward_nearfar_heuristic(poses[i_train, :3, 3], ratio=ratio)
+        if images.shape[-1] == 4:
+            if d.white_bkgd:
+                images = images[..., :3] * images[..., -1:] + (1.0 - images[..., -1:])
+            else:
+                images = images[..., :3] * images[..., -1:]
     elif dtype == "synthetic":
         from fgs_nerf_tpu.data.synthetic import make_synthetic_dataset
 
         return make_synthetic_dataset()
     else:
         raise NotImplementedError(
-            f"dataset_type {dtype!r}; supported: blender, dtu, llff, nsvf, synthetic"
+            f"dataset_type {dtype!r}; supported: blender, dtu, llff, nsvf, tankstemple, blendedmvs, synthetic"
         )
 
     h, w, focal = hwf
