@@ -5,6 +5,7 @@ poses, render_poses, images, masks, scale_mats_np, irregular_shape.
 """
 from __future__ import annotations
 
+import os
 from typing import Dict
 
 import numpy as np
@@ -106,13 +107,26 @@ def load_dataset(cfg) -> Dict:
                 images = images[..., :3] * images[..., -1:] + (1.0 - images[..., -1:])
             else:
                 images = images[..., :3] * images[..., -1:]
+    elif dtype == "deepvoxels":
+        from fgs_nerf_tpu.data.deepvoxels import load_dv_data
+
+        scene = os.path.basename(d.datadir.rstrip(os.sep))
+        out = load_dv_data(
+            scene, os.path.dirname(d.datadir.rstrip(os.sep)),
+            d.get("testskip", 1),
+        )
+        images, poses = out["images"], out["poses"]
+        render_poses, hwf = out["render_poses"], out["hwf"]
+        i_train, i_val, i_test = out["i_split"]
+        hemi_r = float(np.mean(np.linalg.norm(poses[:, :3, -1], axis=-1)))
+        near, far = hemi_r - 1.0, hemi_r + 1.0
     elif dtype == "synthetic":
         from fgs_nerf_tpu.data.synthetic import make_synthetic_dataset
 
         return make_synthetic_dataset()
     else:
         raise NotImplementedError(
-            f"dataset_type {dtype!r}; supported: blender, dtu, llff, nsvf, tankstemple, blendedmvs, synthetic"
+            f"dataset_type {dtype!r}; supported: blender, dtu, llff, nsvf, tankstemple, blendedmvs, deepvoxels, synthetic"
         )
 
     h, w, focal = hwf
