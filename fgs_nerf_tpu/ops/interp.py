@@ -36,13 +36,9 @@ def _corner_gather(flat_grid, ci, sizes):
     return vals * inb[..., None].astype(flat_grid.dtype)
 
 
-def trilinear_sample_index(grid: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Trilinear interpolation at fractional **index-space** coords.
-
-    grid: [X, Y, Z, C]; idx: [..., 3] in voxel units ([0, size-1] maps
-    onto the grid, align_corners=True).  Out-of-range corners read as
-    zero (torch zero padding).
-    """
+def _trilinear_sample_index_impl(grid: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Reference 8-corner gather implementation (autodiff backward uses
+    XLA scatter-add — kept as the golden model for the custom VJP)."""
     sizes = jnp.asarray(grid.shape[:3], jnp.int32)
     flat = grid.reshape(-1, grid.shape[-1])
     i0 = jnp.floor(idx).astype(jnp.int32)
@@ -57,6 +53,45 @@ def trilinear_sample_index(grid: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
         term = w[..., None] * v
         out = term if out is None else out + term
     return out
+
+
+@jax.custom_vjp
+def trilinear_sample_index(grid: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear interpolation at fractional **index-space** coords.
+
+    grid: [X, Y, Z, C]; idx: [..., 3] in voxel units ([0, size-1] maps
+    onto the grid, align_corners=True).  Out-of-range corners read as
+    zero (torch zero padding).
+
+    Custom VJP: the grid gradient uses the sort + rank-compressed
+    one-hot-matmul scheme of ``ops.scatter`` (deterministic and ~5x
+    cheaper than XLA's per-element scatter-add on TPU).  The cotangent
+    w.r.t. ``idx`` is declared ZERO: sample positions never depend on
+    trainable parameters in this framework (rays and tap offsets are
+    data), so position gradients are never consumed.
+    """
+    return _trilinear_sample_index_impl(grid, idx)
+
+
+def _tri_idx_fwd(grid, idx):
+    return _trilinear_sample_index_impl(grid, idx), (grid.shape, idx)
+
+
+def _tri_idx_bwd(res, g):
+    from fgs_nerf_tpu.ops.scatter import corner_scatter_grid_grad
+
+    grid_shape, idx = res
+    c = grid_shape[-1]
+    i0 = jnp.floor(idx).astype(jnp.int32)
+    fracs = (idx - i0.astype(idx.dtype)).reshape(-1, 3)
+    grad_grid = corner_scatter_grid_grad(
+        i0.reshape(-1, 3), fracs, g.reshape(-1, c).astype(jnp.float32),
+        grid_shape,
+    )
+    return grad_grid, jnp.zeros_like(idx)
+
+
+trilinear_sample_index.defvjp(_tri_idx_fwd, _tri_idx_bwd)
 
 
 def trilinear_sample(grid: jnp.ndarray, xyz: jnp.ndarray, box: SceneBox) -> jnp.ndarray:

@@ -1,0 +1,138 @@
+"""Sort-based deterministic scatter-add for trilinear-gather backwards.
+
+Why: on TPU, XLA's scatter-add costs ~5-6 ns per scattered *element*
+(channels multiply the cost), so the grid gradient of the fused
+[sdf|grad|k0] gather — 8 corners x rays x samples x 16 channels — is
+~1.4 s/step, dominating training (measured via jax.profiler; see
+BASELINE.md).  This module replaces it with an MXU formulation:
+
+1. sort the sample stream by base-cell row (one shared sort — every
+   corner's rows are the base row plus a constant offset, so base order
+   sorts all 8 corner streams);
+2. rank-compress the sorted rows (ranks advance by <=1 per sample, so
+   any block of B consecutive samples spans <= B ranks — a guaranteed
+   static window, no spill path needed);
+3. accumulate each block into its rank window with a one-hot matmul
+   ``onehot[W, B] @ updates[B, C]`` on the MXU via ``lax.scan`` (the
+   only sequential part, ~B-sized steps);
+4. expand rank space back to the dense grid with a *gather*
+   (``D[rank_map[row - corner_offset]]``) — gathers are per-row and
+   width-independent, so this is ~10 ms where a scatter would pay per
+   element — then combine corners as spatially shifted dense adds.
+
+The result is exact (every update lands, fp32 accumulation) and
+deterministic (duplicate rows write identical rank values).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+BLOCK = 1024  # samples per scan step == rank window size
+
+
+def _rank_compress(rows_sorted: jnp.ndarray) -> jnp.ndarray:
+    """Dense ranks of a sorted int array (0-based, ties share a rank)."""
+    newseg = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         (rows_sorted[1:] != rows_sorted[:-1]).astype(jnp.int32)]
+    )
+    return jnp.cumsum(newseg)
+
+
+def _block_accumulate(ranks: jnp.ndarray, upd: jnp.ndarray, n_ranks_cap: int):
+    """D[rank] += upd via blockwise one-hot matmuls.
+
+    ranks: [M] non-decreasing; upd: [M, C].  Returns D [n_ranks_cap, C].
+    """
+    m, c = upd.shape
+    pad = (-m) % BLOCK
+    if pad:
+        # padded samples point at the last rank with zero updates
+        ranks = jnp.concatenate([ranks, jnp.full((pad,), ranks[-1], ranks.dtype)])
+        upd = jnp.concatenate([upd, jnp.zeros((pad, c), upd.dtype)])
+    nb = ranks.shape[0] // BLOCK
+    ranks_b = ranks.reshape(nb, BLOCK)
+    upd_b = upd.reshape(nb, BLOCK, c)
+    # window start per block, clamped so the window fits the buffer
+    w0 = jnp.minimum(ranks_b[:, 0], n_ranks_cap - BLOCK)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 0)
+
+    def body(d, inp):
+        rb, ub, w0b = inp
+        local = rb - w0b  # in [0, BLOCK)
+        onehot = (iota_w == local[None, :]).astype(ub.dtype)  # [W, B]
+        contrib = jax.lax.dot_general(
+            onehot, ub, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [W, C]
+        win = jax.lax.dynamic_slice(d, (w0b, 0), (BLOCK, c))
+        d = jax.lax.dynamic_update_slice(d, win + contrib, (w0b, 0))
+        return d, None
+
+    d0 = jnp.zeros((n_ranks_cap, c), jnp.float32)
+    d, _ = jax.lax.scan(body, d0, (ranks_b, upd_b, w0))
+    return d
+
+
+def corner_scatter_grid_grad(
+    i0: jnp.ndarray,  # [M, 3] int32 base cell (floor of index coords)
+    fracs: jnp.ndarray,  # [M, 3] fractional offsets in [0, 1)
+    g: jnp.ndarray,  # [M, C] output cotangent per sample
+    grid_shape: Tuple[int, int, int, int],
+) -> jnp.ndarray:
+    """Gradient of an 8-corner trilinear gather w.r.t. the grid.
+
+    Matches the zero-padding forward: corners outside the grid
+    contribute nothing.
+    """
+    x, y, z, c = grid_shape
+    sizes = jnp.asarray((x, y, z), jnp.int32)
+    # Base cells live in a virtual (+2)-padded volume so that partially
+    # out-of-bounds bases (i0 == -1 on some axis, whose +1 corners are
+    # valid) keep the linear corner-offset algebra.  Bases outside
+    # [-1, size-1] have no valid corner (every corner is masked), so
+    # clipping them into range is harmless.
+    xp, yp, zp = x + 2, y + 2, z + 2
+    n_rows_ext = xp * yp * zp
+    base_p = jnp.clip(i0, -1, sizes - 1) + 1  # padded coords in [0, size]
+    rows_base = (base_p[:, 0] * yp + base_p[:, 1]) * zp + base_p[:, 2]
+
+    order = jnp.argsort(rows_base)
+    rows_s = jnp.take(rows_base, order)
+    i0_s = jnp.take(i0, order, axis=0)
+    f_s = jnp.take(fracs, order, axis=0)
+    g_s = jnp.take(g, order, axis=0)
+
+    ranks = _rank_compress(rows_s)
+    rank_map = jnp.zeros((n_rows_ext,), jnp.int32).at[rows_s].set(ranks)
+    present = jnp.zeros((n_rows_ext,), bool).at[rows_s].set(True)
+
+    cap = max(n_rows_ext, BLOCK)
+    grid_grad = jnp.zeros((x, y, z, c), jnp.float32)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                ci = i0_s + jnp.asarray((dx, dy, dz), jnp.int32)
+                inb = jnp.all((ci >= 0) & (ci < sizes), axis=-1)
+                w = (
+                    (f_s[:, 0] if dx else 1.0 - f_s[:, 0])
+                    * (f_s[:, 1] if dy else 1.0 - f_s[:, 1])
+                    * (f_s[:, 2] if dz else 1.0 - f_s[:, 2])
+                )
+                upd = (w * inb.astype(w.dtype))[:, None] * g_s
+                d = _block_accumulate(ranks, upd, cap)
+                # dense expansion by GATHER (per-row, width-free): the
+                # contribution to node v comes from base v - offset,
+                # i.e. padded coord v - offset + 1.
+                dense = jnp.take(d, rank_map, axis=0)
+                dense = jnp.where(present[:, None], dense, 0.0)
+                dense = dense.reshape(xp, yp, zp, c)
+                sx, sy, sz = 1 - dx, 1 - dy, 1 - dz
+                grid_grad = grid_grad + jax.lax.slice(
+                    dense, (sx, sy, sz, 0), (sx + x, sy + y, sz + z, c)
+                )
+    return grid_grad
