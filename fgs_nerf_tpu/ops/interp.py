@@ -149,19 +149,27 @@ def sample_sdf_taps(
     idx = box.normalize(xyz) * (sizes - 1.0)  # [..., 3] xyz index space
 
     displace = jnp.asarray(displace_list, jnp.float32)  # [D]
+    d = len(displace_list)
     # Offsets in xyz axis order; emitted tap order is (z-, z+, y-, y+, x-, x+).
-    axis_order = (2, 1, 0)  # z, y, x
-    feats = []
-    diffs = []
-    for ax in axis_order:
-        for sign in (-1.0, 1.0):
-            off = jnp.zeros((3,), jnp.float32).at[ax].set(sign)
-            tap_idx = idx[..., None, :] + off * displace[:, None]  # [..., D, 3]
-            tap_idx = jnp.clip(tap_idx, 0.0, sizes - 1.0)
-            feats.append(trilinear_sample_index(grid, tap_idx)[..., 0])  # [..., D]
-            diffs.append(tap_idx[..., ax])
-    feat = jnp.stack(feats, axis=-2)  # [..., 6, D]
-    tap_coord = jnp.stack(diffs, axis=-2)  # [..., 6, D]
+    # All 6*D taps are sampled in ONE trilinear call so the backward runs
+    # a single sort-scatter machine instead of six.
+    offs = jnp.asarray(
+        [[0, 0, -1], [0, 0, 1], [0, -1, 0], [0, 1, 0], [-1, 0, 0], [1, 0, 0]],
+        jnp.float32,
+    )  # [6, 3] in (z-, z+, y-, y+, x-, x+) tap order, xyz components
+    tap_off = offs[:, None, :] * displace[None, :, None]  # [6, D, 3]
+    tap_idx = idx[..., None, None, :] + tap_off  # [..., 6, D, 3]
+    tap_idx = jnp.clip(tap_idx, 0.0, sizes - 1.0)
+    feat = trilinear_sample_index(grid, tap_idx)[..., 0]  # [..., 6, D]
+    # post-clamp coordinate of each tap along its displaced axis
+    tap_coord = jnp.stack(
+        [
+            tap_idx[..., 0, :, 2], tap_idx[..., 1, :, 2],
+            tap_idx[..., 2, :, 1], tap_idx[..., 3, :, 1],
+            tap_idx[..., 4, :, 0], tap_idx[..., 5, :, 0],
+        ],
+        axis=-2,
+    )  # [..., 6, D]
 
     # Post-clamp index distance between the +/- taps of each axis
     # (the reference takes max over coords, which selects the displaced
