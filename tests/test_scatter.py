@@ -86,3 +86,20 @@ def test_custom_vjp_end_to_end(rng):
     g1 = np.asarray(jax.grad(loss)(grid))
     g2 = np.asarray(jax.grad(loss_ref)(grid))
     np.testing.assert_allclose(g1, g2, atol=5e-4, rtol=1e-4)
+
+
+def test_gather_slots_vjp_matches_autodiff(rng):
+    from fgs_nerf_tpu.models.sdf_voxel import _gather_slots_3d
+
+    n, s, c, k = 4, 16, 3, 5
+    x = jnp.asarray(rng.normal(size=(n, s, c)).astype(np.float32))
+    idx = jnp.asarray(
+        np.stack([rng.choice(s, size=k, replace=False) for _ in range(n)])
+    ).astype(jnp.int32)
+    cot = jnp.asarray(rng.normal(size=(n, k, c)).astype(np.float32))
+
+    g1 = jax.grad(lambda xx: jnp.sum(_gather_slots_3d(xx, idx) * cot))(x)
+    g2 = jax.grad(
+        lambda xx: jnp.sum(jnp.take_along_axis(xx, idx[..., None], axis=1) * cot)
+    )(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)
