@@ -467,9 +467,14 @@ def _gather_slots_3d(x, idx):
     which XLA prices per element (~5 ns) — for the shading selection
     that's another 100+ ms/step.  Top-k indices are unique within a
     row, so the transpose is exactly ``onehot^T @ g``: a batched MXU
-    matmul at a tiny fraction of the cost.
+    matmul at a tiny fraction of the cost.  The forward flattens to a
+    global row gather: XLA also prices batched take_along_axis per
+    element, while a flat ``jnp.take`` is per-row.
     """
-    return jnp.take_along_axis(x, idx[..., None], axis=1)
+    n, s, c = x.shape
+    k = idx.shape[1]
+    rows = (jnp.arange(n, dtype=jnp.int32)[:, None] * s + idx).reshape(-1)
+    return jnp.take(x.reshape(n * s, c), rows, axis=0).reshape(n, k, c)
 
 
 def _gather_slots_3d_fwd(x, idx):

@@ -112,27 +112,33 @@ def corner_scatter_grid_grad(
     present = jnp.zeros((n_rows_ext,), bool).at[rows_s].set(True)
 
     cap = max(n_rows_ext, BLOCK)
+    # All 8 corners share the sort/ranks; their updates are stacked as
+    # channel groups so ONE block scan accumulates everything (the scan
+    # is the only sequential part — 8x fewer iterations and the one-hot
+    # matmul amortizes over 8C channels).
+    corners = [(dx, dy, dz) for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)]
+    upd_groups = []
+    for dx, dy, dz in corners:
+        ci = i0_s + jnp.asarray((dx, dy, dz), jnp.int32)
+        inb = jnp.all((ci >= 0) & (ci < sizes), axis=-1)
+        w = (
+            (f_s[:, 0] if dx else 1.0 - f_s[:, 0])
+            * (f_s[:, 1] if dy else 1.0 - f_s[:, 1])
+            * (f_s[:, 2] if dz else 1.0 - f_s[:, 2])
+        )
+        upd_groups.append((w * inb.astype(w.dtype))[:, None] * g_s)
+    upd_all = jnp.concatenate(upd_groups, axis=-1)  # [M, 8C]
+    d = _block_accumulate(ranks, upd_all, cap)
+    # dense expansion by GATHER (per-row, width-free): the contribution
+    # to node v from corner offset o comes from base v - o, i.e.
+    # padded coord v - o + 1.
+    dense = jnp.take(d, rank_map, axis=0)
+    dense = jnp.where(present[:, None], dense, 0.0)
+    dense = dense.reshape(xp, yp, zp, 8 * c)
     grid_grad = jnp.zeros((x, y, z, c), jnp.float32)
-    for dx in (0, 1):
-        for dy in (0, 1):
-            for dz in (0, 1):
-                ci = i0_s + jnp.asarray((dx, dy, dz), jnp.int32)
-                inb = jnp.all((ci >= 0) & (ci < sizes), axis=-1)
-                w = (
-                    (f_s[:, 0] if dx else 1.0 - f_s[:, 0])
-                    * (f_s[:, 1] if dy else 1.0 - f_s[:, 1])
-                    * (f_s[:, 2] if dz else 1.0 - f_s[:, 2])
-                )
-                upd = (w * inb.astype(w.dtype))[:, None] * g_s
-                d = _block_accumulate(ranks, upd, cap)
-                # dense expansion by GATHER (per-row, width-free): the
-                # contribution to node v comes from base v - offset,
-                # i.e. padded coord v - offset + 1.
-                dense = jnp.take(d, rank_map, axis=0)
-                dense = jnp.where(present[:, None], dense, 0.0)
-                dense = dense.reshape(xp, yp, zp, c)
-                sx, sy, sz = 1 - dx, 1 - dy, 1 - dz
-                grid_grad = grid_grad + jax.lax.slice(
-                    dense, (sx, sy, sz, 0), (sx + x, sy + y, sz + z, c)
-                )
+    for k, (dx, dy, dz) in enumerate(corners):
+        sx, sy, sz = 1 - dx, 1 - dy, 1 - dz
+        grid_grad = grid_grad + jax.lax.slice(
+            dense, (sx, sy, sz, k * c), (sx + x, sy + y, sz + z, (k + 1) * c)
+        )
     return grid_grad
