@@ -29,15 +29,16 @@ def main():
     # full-step compiles run minutes on the tunneled TPU; persist them
     import jax
 
-    # per-backend cache dir: CPU AOT artifacts are machine-feature
-    # sensitive and must not mix with TPU entries
-    backend = jax.default_backend()
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     ".jax_cache", backend),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Persist TPU compiles only: CPU AOT cache entries embed machine
+    # features and clash across XLA_FLAGS variants (observed
+    # prefer-no-gather mismatch warnings on reload).
+    if jax.default_backend() != "cpu":
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache", jax.default_backend()),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from fgs_nerf_tpu.core.box import SceneBox

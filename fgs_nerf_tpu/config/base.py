@@ -48,6 +48,14 @@ def load_config(path_or_name: str) -> Cfg:
     builtin = getattr(scenes, path_or_name.upper(), None)
     if builtin is not None:
         return Cfg(copy.deepcopy(builtin))
+    import os
+
+    if not os.path.isfile(path_or_name):
+        names = [n.lower() for n in dir(scenes) if n.isupper()]
+        raise FileNotFoundError(
+            f"config {path_or_name!r} is neither a built-in "
+            f"({', '.join(sorted(names))}) nor an existing python file"
+        )
     spec = importlib.util.spec_from_file_location("user_config", path_or_name)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)

@@ -43,15 +43,16 @@ def main():
     args = config_parser().parse_args()
     import jax
 
-    # per-backend cache dir: CPU AOT artifacts are machine-feature
-    # sensitive and must not mix with TPU entries
-    backend = jax.default_backend()
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     ".jax_cache", backend),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Persist TPU compiles only: CPU AOT cache entries embed machine
+    # features and clash across XLA_FLAGS variants (observed
+    # prefer-no-gather mismatch warnings on reload).
+    if jax.default_backend() != "cpu":
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache", jax.default_backend()),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from fgs_nerf_tpu.config.base import load_config
     from fgs_nerf_tpu.data.dataset import load_dataset
 
@@ -119,6 +120,12 @@ def _evaluate(args, cfg, data_dict, out_dir, cfg_model, _unused, log,
             if os.path.exists(alt):
                 ckpt_path = alt
                 break
+        else:
+            raise SystemExit(
+                f"no checkpoint found under {out_dir} — train first "
+                "(expected fine_last.npz / coarse_last.npz / "
+                "geometry_searching_last.npz)"
+            )
     evaluate_checkpoint(
         ckpt_path, cfg, data_dict, out_dir,
         eval_ssim=bool(args.eval_ssim), eval_lpips=bool(args.eval_lpips),
