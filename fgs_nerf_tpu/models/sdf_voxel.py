@@ -578,10 +578,15 @@ def forward_coarse(
     # ---- pass 2: shading -------------------------------------------------
     if cfg.shade_k > 0:
         idx, sel_live = _topk_select(weights, live, cfg.shade_k)
-        s_pts = _gather_slots(pts, idx)
-        s_normal = _gather_slots(normal, idx)
-        s_k0 = _gather_slots(k0_all, idx)
-        s_weights = _gather_slots(weights, idx) * sel_live
+        # one packed top-K gather (random rows are HBM-line bound)
+        pack = jnp.concatenate(
+            [pts, normal, k0_all, weights[..., None]], axis=-1
+        )
+        s_pack = _gather_slots(pack, idx)
+        s_pts = s_pack[..., 0:3]
+        s_normal = s_pack[..., 3:6]
+        s_k0 = s_pack[..., 6:6 + cfg.k0_dim]
+        s_weights = s_pack[..., 6 + cfg.k0_dim] * sel_live
         overflow = jnp.sum(live, axis=-1) > cfg.shade_k
     else:
         s_pts, s_normal, s_k0 = pts, normal, k0_all
@@ -696,12 +701,17 @@ def forward_fine(
 
     if cfg.shade_k > 0:
         idx, sel_live = _topk_select(weights, live, cfg.shade_k)
-        s_pts = _gather_slots(pts, idx)
-        s_sdf = _gather_slots(sdf, idx)
-        s_normal = _gather_slots(normal, idx)
-        s_gradient = _gather_slots(gradient, idx)
-        s_k0 = _gather_slots(k0_all, idx)
-        s_weights = _gather_slots(weights, idx) * sel_live
+        pack = jnp.concatenate(
+            [pts, sdf[..., None], normal, gradient, k0_all, weights[..., None]],
+            axis=-1,
+        )
+        s_pack = _gather_slots(pack, idx)
+        s_pts = s_pack[..., 0:3]
+        s_sdf = s_pack[..., 3]
+        s_normal = s_pack[..., 4:7]
+        s_gradient = s_pack[..., 7:10]
+        s_k0 = s_pack[..., 10:10 + cfg.k0_dim]
+        s_weights = s_pack[..., 10 + cfg.k0_dim] * sel_live
         overflow = jnp.sum(live, axis=-1) > cfg.shade_k
     else:
         s_pts, s_sdf, s_normal, s_gradient = pts, sdf, normal, gradient

@@ -103,9 +103,15 @@ def corner_scatter_grid_grad(
 
     order = jnp.argsort(rows_base)
     rows_s = jnp.take(rows_base, order)
-    i0_s = jnp.take(i0, order, axis=0)
-    f_s = jnp.take(fracs, order, axis=0)
-    g_s = jnp.take(g, order, axis=0)
+    # one packed permutation gather: random row reads are HBM-line
+    # bound, so three narrow takes cost three line touches per sample
+    packed = jnp.concatenate(
+        [i0.astype(jnp.float32), fracs, g], axis=-1
+    )
+    packed_s = jnp.take(packed, order, axis=0)
+    i0_s = packed_s[:, :3].astype(jnp.int32)
+    f_s = packed_s[:, 3:6]
+    g_s = packed_s[:, 6:]
 
     ranks = _rank_compress(rows_s)
     rank_map = jnp.zeros((n_rows_ext,), jnp.int32).at[rows_s].set(ranks)
