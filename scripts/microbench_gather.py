@@ -1,0 +1,163 @@
+"""Microbenchmarks for the gather formulations on the real TPU.
+
+Host wall-clock is unreliable through the axon tunnel (executions are
+memoized per argument buffer and small-output programs get algebraically
+collapsed), so each variant is measured from a ``jax.profiler`` trace:
+run the op once under trace, sum TPU-track device durations.
+
+Questions:
+  A. top-K slot gather [8192,288,19] -> [8192,256,19]: flat row take vs
+     one-hot batched matmul vs take_along_axis.
+  B. full permutation gather of a packed [2.36M,22] array: take vs
+     multi-operand lax.sort carrying the payload.
+  C. 8 separate corner gathers of [1.48M,16] vs ONE gather of a
+     cell-packed [1.48M,128] grid (packing cost included).
+"""
+import glob
+import gzip
+import json
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N, S, K, C = 8192, 288, 256, 19
+M = N * S
+GX = GY = GZ = 114
+GC = 16
+
+
+def device_ms(fn, args, n=4):
+    """Total device-op ms per run of jitted ``fn`` (from profiler trace)."""
+    fn_j = jax.jit(fn)
+    out = fn_j(jnp.int32(0), *args)
+    jax.block_until_ready(out)
+    logdir = "/tmp/fgs_microbench_trace"
+    shutil.rmtree(logdir, ignore_errors=True)
+    jax.profiler.start_trace(logdir, create_perfetto_trace=True)
+    for i in range(1, n + 1):
+        out = fn_j(jnp.int32(i), *args)
+    jax.block_until_ready(out)
+    jax.profiler.stop_trace()
+    paths = glob.glob(f"{logdir}/**/*.trace.json.gz", recursive=True)
+    with gzip.open(paths[0], "rt") as f:
+        trace = json.load(f)
+    pid_names = {}
+    for ev in trace.get("traceEvents", []):
+        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+            pid_names[ev["pid"]] = ev["args"].get("name", "")
+    total = 0.0
+    for ev in trace.get("traceEvents", []):
+        if ev.get("ph") != "X" or "dur" not in ev:
+            continue
+        if "TPU" not in pid_names.get(ev.get("pid"), ""):
+            continue
+        if ev.get("name", "").startswith("jit_"):  # outer span, avoid double count
+            continue
+        total += ev["dur"]
+    return total / 1e3 / n
+
+
+def bench(name, body, *args):
+    ms = device_ms(body, args)
+    print(f"{name:30s} {ms:8.2f} ms", flush=True)
+
+
+def main():
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.normal(size=(4096, 4096)).astype(np.float32))
+    bench("sanity matmul 4096^3 fp32",
+          lambda i, a: (a + i.astype(jnp.float32)) @ a, a)
+
+    x = jnp.asarray(rng.normal(size=(N, S, C)).astype(np.float32))
+    idx0 = jnp.asarray(
+        np.sort(rng.integers(0, S, size=(N, K)), axis=1).astype(np.int32)
+    )
+
+    def flat_take(i, x, idx):
+        idx = (idx + i) % S
+        rows = (jnp.arange(N, dtype=jnp.int32)[:, None] * S + idx).reshape(-1)
+        return jnp.take(x.reshape(M, C), rows, axis=0)
+
+    def onehot_mm(i, x, idx):
+        idx = (idx + i) % S
+        iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, K, S), 2)
+        onehot = (idx[..., None] == iota_s).astype(jnp.bfloat16)
+        return jax.lax.dot_general(
+            onehot, x.astype(jnp.bfloat16), (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+
+    def taa(i, x, idx):
+        idx = (idx + i) % S
+        return jnp.take_along_axis(x, idx[..., None], axis=1)
+
+    bench("A. flat row take", flat_take, x, idx0)
+    bench("A. one-hot batched mm", onehot_mm, x, idx0)
+    bench("A. take_along_axis", taa, x, idx0)
+
+    P = 22
+    packed = jnp.asarray(rng.normal(size=(M, P)).astype(np.float32))
+    keys0 = jnp.asarray(rng.integers(0, 1_500_000, size=(M,)).astype(np.int32))
+
+    def perm_take(i, packed, keys):
+        keys = keys + i
+        order = jnp.argsort(keys)
+        return jnp.take(keys, order), jnp.take(packed, order, axis=0)
+
+    def sort_payload(i, packed, keys):
+        keys = keys + i
+        ops = (keys,) + tuple(packed[:, j] for j in range(P))
+        out = jax.lax.sort(ops, dimension=0, num_keys=1)
+        return out[0], jnp.stack(out[1:], axis=-1)
+
+    bench("B. argsort + take", perm_take, packed, keys0)
+    bench("B. lax.sort payload", sort_payload, packed, keys0)
+
+    grid = jnp.asarray(rng.normal(size=(GX * GY * GZ, GC)).astype(np.float32))
+    rows0 = jnp.asarray(
+        rng.integers(0, (GX - 2) * (GY - 2) * (GZ - 2), size=(M,)).astype(np.int32)
+    )
+    offs = np.array(
+        [(dx * GY + dy) * GZ + dz for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)],
+        np.int32,
+    )
+
+    def eight_gathers(i, grid, rows):
+        rows = rows + i
+        outs = [jnp.take(grid, rows + int(o), axis=0) for o in offs]
+        return sum(outs)
+
+    def packed_cell(i, grid, rows):
+        rows = rows + i
+        g3 = grid.reshape(GX, GY, GZ, GC)
+        parts = []
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    parts.append(
+                        jax.lax.slice(
+                            g3, (dx, dy, dz, 0),
+                            (GX - 1 + dx, GY - 1 + dy, GZ - 1 + dz, GC),
+                        )
+                    )
+        cells = jnp.concatenate(parts, axis=-1).reshape(-1, 8 * GC)
+        rx = rows // (GY * GZ)
+        rem = rows % (GY * GZ)
+        ry = rem // GZ
+        rz = rem % GZ
+        crows = (rx * (GY - 1) + ry) * (GZ - 1) + rz
+        v = jnp.take(cells, crows, axis=0)
+        return sum(v[:, j * GC:(j + 1) * GC] for j in range(8))
+
+    bench("C. 8 corner gathers", eight_gathers, grid, rows0)
+    bench("C. packed-cell 1 gather", packed_cell, grid, rows0)
+
+
+if __name__ == "__main__":
+    main()
