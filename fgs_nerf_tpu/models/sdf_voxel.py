@@ -430,25 +430,37 @@ def _safe_norm(x, axis=-1):
     return jnp.sqrt(jnp.maximum(jnp.sum(x**2, axis=axis, keepdims=True), 1e-24))
 
 
-def _compact_valid(pts, valid, k):
+def _compact_valid(valid, k):
     """Compact the sample axis to the first ``k`` valid slots per ray.
 
     Exact when no ray has more than ``k`` valid samples (dropped slots
     are only the masked-out ones): scoring by ``-step`` keeps surviving
     samples in ascending step order, so the transmittance scan over the
-    compacted axis equals the scan over the full lattice.  Returns
-    (pts [N,k,3], valid [N,k], steps [N,k] original step ids,
-    overflow [N]).
+    compacted axis equals the scan over the full lattice.  Points are
+    NOT gathered — the caller recomputes them from the returned step
+    ids (bitwise-identical to the lattice points and cheaper than a
+    [N*S, 3] row gather).  Returns (valid [N,k], steps [N,k] original
+    step ids, overflow [N]).
     """
     s = valid.shape[-1]
     step_ids = jnp.arange(s, dtype=jnp.float32)
     score = jnp.where(valid, -step_ids, -jnp.inf)
     vals, idx = jax.lax.top_k(score, k)
     new_valid = vals > -jnp.inf
-    new_pts = jnp.take_along_axis(pts, idx[..., None], axis=1)
     steps = idx.astype(jnp.float32)
     overflow = jnp.sum(valid, axis=-1) > k
-    return new_pts, new_valid, steps, overflow
+    return new_valid, steps, overflow
+
+
+def _pts_at_steps(rays_o, rays_d, t_min, steps, step_dist):
+    """World positions of lattice slots ``steps`` — the same expression
+    tree as ``ops.ray_sample.sample_along_rays`` evaluates, so the
+    result is bitwise-identical to the lattice points."""
+    d_norm = jnp.linalg.norm(rays_d, axis=-1)
+    start = rays_o + rays_d * t_min[..., None]
+    dir_unit = rays_d / d_norm[..., None]
+    dist = steps * step_dist
+    return start[:, None, :] + dir_unit[:, None, :] * dist[..., None]
 
 
 def _topk_select(weights, live, k):
@@ -538,7 +550,8 @@ def forward_coarse(
         )
 
     if 0 < cfg.sample_k < cfg.s_max:
-        pts, valid, steps, sample_overflow = _compact_valid(pts, valid, cfg.sample_k)
+        valid, steps, sample_overflow = _compact_valid(valid, cfg.sample_k)
+        pts = _pts_at_steps(rays_o, rays_d, rs.t_min, steps, cfg.step_dist)
     else:
         steps = jnp.broadcast_to(
             jnp.arange(cfg.s_max, dtype=jnp.float32), valid.shape
@@ -553,10 +566,11 @@ def forward_coarse(
     # cost is per-row, not per-byte, so widening the row is free while
     # a separate k0 gather (and its backward scatter) would cost the
     # full row count again.  k0 values at unshaded slots carry no
-    # cotangent, so gradients are unchanged.
+    # cotangent, so gradients are unchanged.  The cell-packed variant
+    # turns the 8 corner gathers into one 512-byte-row gather.
     grad_field = sdf_gradient(params["sdf"], cfg.voxel_size, cfg.grad_mode)
     field = jnp.concatenate([sdf_grid, grad_field, params["k0"]], axis=-1)
-    samp = trilinear_sample(field, pts, box)  # [N, S, 4 + k0_dim]
+    samp = trilinear_sample(field, pts, box, packed=True)  # [N, S, 4 + k0_dim]
     sdf = samp[..., 0]
     gradient = samp[..., 1:4]
     k0_all = samp[..., 4:]
@@ -664,7 +678,8 @@ def forward_fine(
         valid = valid & mask_cache_query(buffers["mask_cache"], pts, cfg.mask_cache_thres)
 
     if 0 < cfg.sample_k < cfg.s_max:
-        pts, valid, steps, sample_overflow = _compact_valid(pts, valid, cfg.sample_k)
+        valid, steps, sample_overflow = _compact_valid(valid, cfg.sample_k)
+        pts = _pts_at_steps(rays_o, rays_d, rs.t_min, steps, cfg.step_dist)
     else:
         steps = jnp.broadcast_to(
             jnp.arange(cfg.s_max, dtype=jnp.float32), valid.shape
@@ -676,7 +691,7 @@ def forward_fine(
         sdf_grid = smooth_grid(sdf_grid, cfg.smooth_ksize, cfg.smooth_sigma)
     # fused [sdf | k0] gather — see the coarse forward's rationale
     field = jnp.concatenate([sdf_grid, params["k0"]], axis=-1)
-    samp = trilinear_sample(field, pts, box)
+    samp = trilinear_sample(field, pts, box, packed=True)
     sdf = samp[..., 0]
     k0_all = samp[..., 1:]
     gradient, _ = center_gradient_taps(sdf_grid, pts, box, cfg.voxel_size)

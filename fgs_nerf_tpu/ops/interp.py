@@ -94,10 +94,77 @@ def _tri_idx_bwd(res, g):
 trilinear_sample_index.defvjp(_tri_idx_fwd, _tri_idx_bwd)
 
 
-def trilinear_sample(grid: jnp.ndarray, xyz: jnp.ndarray, box: SceneBox) -> jnp.ndarray:
+def _cellpack_gather_impl(grid: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Cell-packed trilinear gather: same math as
+    ``_trilinear_sample_index_impl`` but ONE row gather per sample.
+
+    TPU row-gather cost is bimodal in row width (measured on v5e, see
+    ``scripts/microbench_gather.py`` section D): <=32-byte and
+    >=512-byte rows move at ~5-12 ns/row while 64-256-byte rows cost
+    3-7x more.  Eight separate 64-byte corner gathers are therefore far
+    slower than ONE 512-byte gather from a grid whose 2x2x2 cell corners
+    are pre-packed into a single row.  The pack is built per call with
+    dense shifted slices (bandwidth-bound, ~8x grid bytes) and pays for
+    itself whenever the sample count is much larger than the voxel
+    count — the render pass-1 regime.
+
+    The padded pack covers base cells -1..size-1 per axis, so every
+    partially-in-range base reads its out-of-range corners as exact
+    zeros (the reference's zero-padding semantics).
+    """
+    x, y, z, c = grid.shape
+    gp = jnp.pad(grid, ((1, 1), (1, 1), (1, 1), (0, 0)))
+    parts = [
+        jax.lax.slice(gp, (dx, dy, dz, 0), (dx + x + 1, dy + y + 1, dz + z + 1, c))
+        for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)
+    ]
+    pack = jnp.concatenate(parts, axis=-1).reshape(-1, 8 * c)
+
+    sizes = jnp.asarray((x, y, z), jnp.int32)
+    i0 = jnp.floor(idx).astype(jnp.int32)
+    f = (idx - i0.astype(idx.dtype)).reshape(-1, 3)
+    base_ok = jnp.all((i0 >= -1) & (i0 < sizes), axis=-1).reshape(-1)
+    b = jnp.clip(i0, -1, sizes - 1) + 1  # padded coords in [0, size]
+    rows = ((b[..., 0] * (y + 1) + b[..., 1]) * (z + 1) + b[..., 2]).reshape(-1)
+    v = jnp.take(pack, rows, axis=0)  # [M, 8C]
+
+    wx = jnp.stack([1.0 - f[:, 0], f[:, 0]], axis=-1)
+    wy = jnp.stack([1.0 - f[:, 1], f[:, 1]], axis=-1)
+    wz = jnp.stack([1.0 - f[:, 2], f[:, 2]], axis=-1)
+    # corner order dx slowest, dz fastest — matches the parts order above
+    w = (
+        wx[:, :, None, None] * wy[:, None, :, None] * wz[:, None, None, :]
+    ).reshape(-1, 8)
+    w = w * base_ok[:, None].astype(w.dtype)
+    out = jnp.sum(v.reshape(-1, 8, c) * w[..., None], axis=1)
+    return out.reshape(*idx.shape[:-1], c)
+
+
+@jax.custom_vjp
+def trilinear_sample_index_packed(grid: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``trilinear_sample_index`` with a cell-packed single-row-gather
+    forward (see ``_cellpack_gather_impl``); identical values and the
+    identical sort-scatter backward.  Prefer it when samples >> voxels
+    (render pass 1); the plain variant avoids the 8x pack build cost
+    for small query sets (mask-cache tests, grid-node queries)."""
+    return _cellpack_gather_impl(grid, idx)
+
+
+def _tri_idx_packed_fwd(grid, idx):
+    return _cellpack_gather_impl(grid, idx), (grid.shape, idx)
+
+
+trilinear_sample_index_packed.defvjp(_tri_idx_packed_fwd, _tri_idx_bwd)
+
+
+def trilinear_sample(
+    grid: jnp.ndarray, xyz: jnp.ndarray, box: SceneBox, packed: bool = False
+) -> jnp.ndarray:
     """Trilinear sample at world coords (parity: `model/grid.py:49-68`)."""
     sizes = jnp.asarray(grid.shape[:3], jnp.float32)
     idx = box.normalize(xyz) * (sizes - 1.0)
+    if packed:
+        return trilinear_sample_index_packed(grid, idx)
     return trilinear_sample_index(grid, idx)
 
 

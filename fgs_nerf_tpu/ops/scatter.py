@@ -101,45 +101,47 @@ def corner_scatter_grid_grad(
     base_p = jnp.clip(i0, -1, sizes - 1) + 1  # padded coords in [0, size]
     rows_base = (base_p[:, 0] * yp + base_p[:, 1]) * zp + base_p[:, 2]
 
-    order = jnp.argsort(rows_base)
-    rows_s = jnp.take(rows_base, order)
-    # one packed permutation gather: random row reads are HBM-line
-    # bound, so three narrow takes cost three line touches per sample
-    packed = jnp.concatenate(
-        [i0.astype(jnp.float32), fracs, g], axis=-1
-    )
-    packed_s = jnp.take(packed, order, axis=0)
-    i0_s = packed_s[:, :3].astype(jnp.int32)
-    f_s = packed_s[:, 3:6]
-    g_s = packed_s[:, 6:]
-
-    ranks = _rank_compress(rows_s)
-    rank_map = jnp.zeros((n_rows_ext,), jnp.int32).at[rows_s].set(ranks)
-    present = jnp.zeros((n_rows_ext,), bool).at[rows_s].set(True)
-
+    m = rows_base.shape[0]
     cap = max(n_rows_ext, BLOCK)
     # All 8 corners share the sort/ranks; their updates are stacked as
     # channel groups so ONE block scan accumulates everything (the scan
     # is the only sequential part — 8x fewer iterations and the one-hot
-    # matmul amortizes over 8C channels).
+    # matmul amortizes over 8C channels).  Updates are built BEFORE the
+    # permutation: v5e row-gather cost is bimodal in row width
+    # (microbench_gather.py section D — 64-256-byte rows are 3-7x
+    # slower per row than 512-byte rows), so ONE 8C-wide permutation
+    # gather of the finished updates beats permuting the narrow
+    # [i0|fracs|g] pack and building updates afterwards.
     corners = [(dx, dy, dz) for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)]
     upd_groups = []
     for dx, dy, dz in corners:
-        ci = i0_s + jnp.asarray((dx, dy, dz), jnp.int32)
+        ci = i0 + jnp.asarray((dx, dy, dz), jnp.int32)
         inb = jnp.all((ci >= 0) & (ci < sizes), axis=-1)
         w = (
-            (f_s[:, 0] if dx else 1.0 - f_s[:, 0])
-            * (f_s[:, 1] if dy else 1.0 - f_s[:, 1])
-            * (f_s[:, 2] if dz else 1.0 - f_s[:, 2])
+            (fracs[:, 0] if dx else 1.0 - fracs[:, 0])
+            * (fracs[:, 1] if dy else 1.0 - fracs[:, 1])
+            * (fracs[:, 2] if dz else 1.0 - fracs[:, 2])
         )
-        upd_groups.append((w * inb.astype(w.dtype))[:, None] * g_s)
-    upd_all = jnp.concatenate(upd_groups, axis=-1)  # [M, 8C]
+        upd_groups.append((w * inb.astype(w.dtype))[:, None] * g)
+    upd_unsorted = jnp.concatenate(upd_groups, axis=-1)  # [M, 8C]
+
+    # One 2-operand sort yields both the sorted keys and the
+    # permutation (an argsort would pay an extra [M] gather for keys).
+    iota = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)[:, 0]
+    rows_s, order = jax.lax.sort((rows_base, iota), dimension=0, num_keys=1)
+    upd_all = jnp.take(upd_unsorted, order, axis=0)
+
+    ranks = _rank_compress(rows_s)
+    # rank+1 scattered into zeros fuses the rank map and the presence
+    # mask into one scatter (0 == row absent from the stream).
+    rank_map1 = jnp.zeros((n_rows_ext,), jnp.int32).at[rows_s].set(ranks + 1)
+
     d = _block_accumulate(ranks, upd_all, cap)
+    d = jnp.concatenate([jnp.zeros((1, d.shape[1]), d.dtype), d], axis=0)
     # dense expansion by GATHER (per-row, width-free): the contribution
     # to node v from corner offset o comes from base v - o, i.e.
-    # padded coord v - o + 1.
-    dense = jnp.take(d, rank_map, axis=0)
-    dense = jnp.where(present[:, None], dense, 0.0)
+    # padded coord v - o + 1.  Absent rows hit the zero guard row 0.
+    dense = jnp.take(d, rank_map1, axis=0)
     dense = dense.reshape(xp, yp, zp, 8 * c)
     grid_grad = jnp.zeros((x, y, z, c), jnp.float32)
     for k, (dx, dy, dz) in enumerate(corners):

@@ -69,6 +69,7 @@ def bench(name, body, *args):
 
 
 def main():
+    sections = set(sys.argv[1]) if len(sys.argv) > 1 else set("ABCD")
     rng = np.random.default_rng(0)
     a = jnp.asarray(rng.normal(size=(4096, 4096)).astype(np.float32))
     bench("sanity matmul 4096^3 fp32",
@@ -97,9 +98,10 @@ def main():
         idx = (idx + i) % S
         return jnp.take_along_axis(x, idx[..., None], axis=1)
 
-    bench("A. flat row take", flat_take, x, idx0)
-    bench("A. one-hot batched mm", onehot_mm, x, idx0)
-    bench("A. take_along_axis", taa, x, idx0)
+    if "A" in sections:
+        bench("A. flat row take", flat_take, x, idx0)
+        bench("A. one-hot batched mm", onehot_mm, x, idx0)
+        bench("A. take_along_axis", taa, x, idx0)
 
     P = 22
     packed = jnp.asarray(rng.normal(size=(M, P)).astype(np.float32))
@@ -116,8 +118,9 @@ def main():
         out = jax.lax.sort(ops, dimension=0, num_keys=1)
         return out[0], jnp.stack(out[1:], axis=-1)
 
-    bench("B. argsort + take", perm_take, packed, keys0)
-    bench("B. lax.sort payload", sort_payload, packed, keys0)
+    if "B" in sections:
+        bench("B. argsort + take", perm_take, packed, keys0)
+        bench("B. lax.sort payload", sort_payload, packed, keys0)
 
     grid = jnp.asarray(rng.normal(size=(GX * GY * GZ, GC)).astype(np.float32))
     rows0 = jnp.asarray(
@@ -155,8 +158,23 @@ def main():
         v = jnp.take(cells, crows, axis=0)
         return sum(v[:, j * GC:(j + 1) * GC] for j in range(8))
 
-    bench("C. 8 corner gathers", eight_gathers, grid, rows0)
-    bench("C. packed-cell 1 gather", packed_cell, grid, rows0)
+    if "C" in sections:
+        bench("C. 8 corner gathers", eight_gathers, grid, rows0)
+        bench("C. packed-cell 1 gather", packed_cell, grid, rows0)
+
+    # D. row-gather cost vs row width: the step trace shows 16ch gathers
+    # at ~6 ns/row but 19ch/22ch at ~45 ns/row.
+    if "D" not in sections:
+        return
+    rows_flat = jnp.asarray(rng.integers(0, M, size=(M,)).astype(np.int32))
+    for w in (8, 16, 19, 22, 24, 32, 64, 128):
+        src = jnp.asarray(rng.normal(size=(M, w)).astype(np.float32))
+        bench(f"D. take {M}x{w} f32",
+              lambda i, s, r: jnp.take(s, (r + i) % M, axis=0), src, rows_flat)
+    for w in (16, 32, 128):
+        src = jnp.asarray(rng.normal(size=(M, w)).astype(np.float32)).astype(jnp.bfloat16)
+        bench(f"D. take {M}x{w} bf16",
+              lambda i, s, r: jnp.take(s, (r + i) % M, axis=0), src, rows_flat)
 
 
 if __name__ == "__main__":

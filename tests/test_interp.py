@@ -181,3 +181,55 @@ def test_center_gradient_reorder(rng):
     gold_grad = np.stack([ggrad[:, 2, 0], ggrad[:, 1, 0], ggrad[:, 0, 0]], axis=-1)
     np.testing.assert_allclose(np.asarray(feat_xyz), gold_feat, atol=3e-5)
     np.testing.assert_allclose(np.asarray(grad_xyz), gold_grad, atol=3e-3)
+
+
+def test_packed_gather_matches_plain(rng):
+    """Cell-packed single-row-gather forward == 8-corner golden, values
+    and grid gradients, including out-of-range and boundary queries."""
+    import jax
+    from fgs_nerf_tpu.ops.interp import (
+        trilinear_sample_index,
+        trilinear_sample_index_packed,
+    )
+
+    grid = jnp.asarray(rng.normal(size=(7, 6, 5, 4)).astype(np.float32))
+    # interior, exact-node, boundary, partially and fully out-of-range
+    idx = jnp.asarray(
+        np.concatenate(
+            [
+                rng.uniform(-0.5, 6.5, size=(64, 3)),
+                np.array(
+                    [
+                        [0.0, 0.0, 0.0],
+                        [6.0, 5.0, 4.0],
+                        [-1.0, 2.0, 2.0],
+                        [-0.4, 5.2, 4.0],
+                        [6.9, -0.9, 3.3],
+                        [-2.5, 2.0, 2.0],
+                        [9.0, 9.0, 9.0],
+                    ]
+                ),
+            ]
+        ).astype(np.float32)
+    )
+    out_plain = trilinear_sample_index(grid, idx)
+    out_packed = trilinear_sample_index_packed(grid, idx)
+    np.testing.assert_allclose(out_packed, out_plain, rtol=1e-6, atol=1e-6)
+
+    cot = jnp.asarray(rng.normal(size=out_plain.shape).astype(np.float32))
+    g_plain = jax.grad(lambda g: jnp.sum(trilinear_sample_index(g, idx) * cot))(grid)
+    g_packed = jax.grad(
+        lambda g: jnp.sum(trilinear_sample_index_packed(g, idx) * cot)
+    )(grid)
+    np.testing.assert_allclose(g_packed, g_plain, rtol=1e-6, atol=1e-6)
+
+
+def test_trilinear_sample_packed_world_coords(rng):
+    box = SceneBox.create(XYZ_MIN, XYZ_MAX)
+    grid = jnp.asarray(rng.normal(size=(9, 8, 7, 3)).astype(np.float32))
+    xyz = jnp.asarray(
+        rng.uniform(XYZ_MIN - 0.2, XYZ_MAX + 0.2, size=(128, 3)).astype(np.float32)
+    )
+    a = trilinear_sample(grid, xyz, box)
+    b = trilinear_sample(grid, xyz, box, packed=True)
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
