@@ -35,8 +35,13 @@ def rgb_ssim(
     img0, img1, max_val, filter_size=11, filter_sigma=1.5, k1=0.01, k2=0.03,
     return_map=False,
 ):
-    """SSIM, numpy (mipnerf port used verbatim by the reference,
-    `model/evaluation.py:10-56`)."""
+    """SSIM, numpy.
+
+    Modified from https://github.com/google/mipnerf/blob/16e73dfdb52044dcceb47cc5101115cbc30c4e4b/internal/math.py#L58
+    — the same upstream the reference attributes at
+    `model/evaluation.py:10-56`; a standard metric must be numerically
+    identical, so the port is kept verbatim with attribution.
+    """
     assert len(img0.shape) == 3 and img0.shape[-1] == 3
     assert img0.shape == img1.shape
     hw = filter_size // 2
@@ -79,25 +84,42 @@ def rgb_ssim(
 
 
 _LPIPS_CACHE = {}
+_LPIPS_WARNED = set()
 
 
 def rgb_lpips(np_gt, np_im, net_name="alex", device="cpu") -> Optional[float]:
     """LPIPS if the `lpips` package + weights are available
-    (`model/evaluation.py:59-74`); None otherwise (zero-egress gate)."""
+    (`model/evaluation.py:59-74`); None otherwise (zero-egress gate).
+
+    Only genuine unavailability (missing package / unfetchable weights)
+    is gated — anything else (a typo, a shape bug) propagates.  The
+    gate warns once per net so an eval log always states why the metric
+    is absent.
+    """
+    import logging
+
     try:
         if net_name not in _LPIPS_CACHE:
             import lpips  # noqa: F401
             import torch  # noqa: F401
 
             _LPIPS_CACHE[net_name] = lpips.LPIPS(net=net_name, version="0.1").eval()
-        import torch
-
-        model = _LPIPS_CACHE[net_name]
-        gt = torch.from_numpy(np_gt).permute(2, 0, 1).contiguous()
-        im = torch.from_numpy(np_im).permute(2, 0, 1).contiguous()
-        return float(model(gt, im, normalize=True).item())
-    except Exception:
+    except (ImportError, OSError, RuntimeError, ValueError) as e:
+        # ImportError: no lpips/torch; OSError/RuntimeError/ValueError:
+        # weight download or deserialize failure in a zero-egress env.
+        if net_name not in _LPIPS_WARNED:
+            _LPIPS_WARNED.add(net_name)
+            logging.getLogger("fgs").warning(
+                f"LPIPS({net_name}) unavailable, omitting the metric: "
+                f"{type(e).__name__}: {e}"
+            )
         return None
+    import torch
+
+    model = _LPIPS_CACHE[net_name]
+    gt = torch.from_numpy(np_gt).permute(2, 0, 1).contiguous()
+    im = torch.from_numpy(np_im).permute(2, 0, 1).contiguous()
+    return float(model(gt, im, normalize=True).item())
 
 
 def to8b(x: np.ndarray) -> np.ndarray:

@@ -30,7 +30,7 @@ from fgs_nerf_tpu.train import checkpoint as ckpt_lib
 from fgs_nerf_tpu.train import schedules
 from fgs_nerf_tpu.train.losses import LossWeights, compute_losses
 from fgs_nerf_tpu.data import rays as ray_lib
-from fgs_nerf_tpu.parallel.mesh import shard_batch
+from fgs_nerf_tpu.parallel.mesh import replicated, shard_batch
 
 
 def loss_weights_from_cfg(cfg_train) -> LossWeights:
@@ -242,6 +242,18 @@ def train_stage(
     n_rand = int(cfg_train["N_rand"])
     tv_terms = dict(cfg_train.get("tv_terms", {}))
 
+    if mesh is not None:
+        n_dev = int(np.prod(mesh.devices.shape))
+        if n_rand % n_dev:
+            raise ValueError(
+                f"N_rand={n_rand} must divide the mesh size {n_dev} "
+                f"(axes {dict(zip(mesh.axis_names, mesh.devices.shape))})"
+            )
+        # grids + MLPs replicated; the ray batch is the only sharded
+        # input, XLA inserts the gradient psum (SURVEY.md §2.9)
+        params = jax.device_put(params, replicated(mesh))
+        opt_state = jax.device_put(opt_state, replicated(mesh))
+
     # ---- training rays -------------------------------------------------
     rng = np.random.default_rng(seed)
     images = np.asarray(data_dict["images"])[data_dict["i_train"]]
@@ -366,6 +378,9 @@ def train_stage(
                 params, buffers = M.set_nonempty_mask(params, buffers, cfg_m, box)
             params = jax.tree.map(jnp.asarray, params)
             opt_state = init_state(params)
+            if mesh is not None:
+                params = jax.device_put(params, replicated(mesh))
+                opt_state = jax.device_put(opt_state, replicated(mesh))
             lr_state = schedules.LrState(
                 schedules.initial_lrs(cfg_train, set(params))
             )

@@ -36,6 +36,9 @@ def config_parser():
     p.add_argument("--eval_ssim", default=True)
     p.add_argument("--eval_lpips", default=False)
     p.add_argument("--seed", type=int, default=777)
+    p.add_argument("--mesh", type=str, default="auto",
+                   help="device mesh: 'auto' (dp over all devices), 'none', "
+                        "or explicit 'dp=N[,sp=M]'")
     return p
 
 
@@ -55,7 +58,9 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from fgs_nerf_tpu.config.base import load_config
     from fgs_nerf_tpu.data.dataset import load_dataset
+    from fgs_nerf_tpu.parallel.mesh import build_mesh, maybe_distributed_init
 
+    maybe_distributed_init()
     cfg = load_config(args.config)
     if args.dataset_path:
         cfg["data"]["datadir"] = args.dataset_path
@@ -86,6 +91,13 @@ def main():
     if args.mode == "train":
         from fgs_nerf_tpu.train.pipeline import run_training
 
+        mesh = build_mesh(args.mesh, cfg.get("parallel"))
+        if mesh is not None:
+            log.info(
+                f"device mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))} "
+                f"over {mesh.devices.size} devices "
+                f"({jax.process_count()} process(es))"
+            )
         stages = []
         if args.geometry_searching:
             stages.append("geometry_searching")
@@ -94,6 +106,7 @@ def main():
         if args.fine_training:
             stages.append("fine")
         results = run_training(cfg, data_dict, out_dir, stages=tuple(stages),
+                               mesh=mesh,
                                i_print=args.i_print, i_validate=args.i_validate)
         # end-of-training eval render + mesh of the last stage
         last = results[stages[-1]]

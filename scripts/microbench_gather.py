@@ -70,6 +70,12 @@ def bench(name, body, *args):
 
 def main():
     sections = set(sys.argv[1]) if len(sys.argv) > 1 else set("ABCD")
+    unknown = sections - set("ABCD")
+    if unknown:
+        raise SystemExit(
+            f"unknown section(s) {sorted(unknown)}; usage: "
+            f"{sys.argv[0]} [sections from 'ABCD', e.g. 'AD']"
+        )
     rng = np.random.default_rng(0)
     a = jnp.asarray(rng.normal(size=(4096, 4096)).astype(np.float32))
     bench("sanity matmul 4096^3 fp32",
@@ -163,18 +169,19 @@ def main():
         bench("C. packed-cell 1 gather", packed_cell, grid, rows0)
 
     # D. row-gather cost vs row width: the step trace shows 16ch gathers
-    # at ~6 ns/row but 19ch/22ch at ~45 ns/row.
-    if "D" not in sections:
-        return
-    rows_flat = jnp.asarray(rng.integers(0, M, size=(M,)).astype(np.int32))
-    for w in (8, 16, 19, 22, 24, 32, 64, 128):
-        src = jnp.asarray(rng.normal(size=(M, w)).astype(np.float32))
-        bench(f"D. take {M}x{w} f32",
-              lambda i, s, r: jnp.take(s, (r + i) % M, axis=0), src, rows_flat)
-    for w in (16, 32, 128):
-        src = jnp.asarray(rng.normal(size=(M, w)).astype(np.float32)).astype(jnp.bfloat16)
-        bench(f"D. take {M}x{w} bf16",
-              lambda i, s, r: jnp.take(s, (r + i) % M, axis=0), src, rows_flat)
+    # at ~6 ns/row but 19ch/22ch at ~45 ns/row.  104ch (416 B) covers
+    # the fine-stage packed-field row width, which sits in the
+    # 256-512 B region between the two measured regimes.
+    if "D" in sections:
+        rows_flat = jnp.asarray(rng.integers(0, M, size=(M,)).astype(np.int32))
+        for w in (8, 16, 19, 22, 24, 32, 64, 104, 128):
+            src = jnp.asarray(rng.normal(size=(M, w)).astype(np.float32))
+            bench(f"D. take {M}x{w} f32",
+                  lambda i, s, r: jnp.take(s, (r + i) % M, axis=0), src, rows_flat)
+        for w in (16, 32, 128):
+            src = jnp.asarray(rng.normal(size=(M, w)).astype(np.float32)).astype(jnp.bfloat16)
+            bench(f"D. take {M}x{w} bf16",
+                  lambda i, s, r: jnp.take(s, (r + i) % M, axis=0), src, rows_flat)
 
 
 if __name__ == "__main__":

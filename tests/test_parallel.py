@@ -86,3 +86,55 @@ def test_graft_dryrun_multichip():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_cli_mesh_training_matches_single_device(tmp_path):
+    """run_training with an 8-device dp mesh (built exactly as run.py
+    builds it from --mesh auto) reproduces the single-device loss."""
+    from fgs_nerf_tpu.config.base import Cfg, deep_update, load_config
+    from fgs_nerf_tpu.data.synthetic import make_synthetic_dataset
+    from fgs_nerf_tpu.parallel.mesh import build_mesh
+    from fgs_nerf_tpu.train.pipeline import run_training
+
+    tiny = dict(
+        geometry_searching=dict(
+            N_iters=8, N_rand=256, pg_scale=[], inc_steps=4,
+            save_iter=10**9, decay_step_module={},
+        ),
+        geometry_searching_model=dict(
+            num_voxels=16**3, num_voxels_base=16**3, shade_k=32
+        ),
+    )
+    cfg = Cfg(deep_update(dict(load_config("shiny_blender")), tiny))
+    data = make_synthetic_dataset(n_views=4, h=24, w=24, n_test=1)
+
+    r1 = run_training(cfg, data, str(tmp_path / "single"),
+                      stages=("geometry_searching",))
+    mesh = build_mesh("auto", cfg.get("parallel"))
+    assert mesh is not None and mesh.devices.size == 8
+    r8 = run_training(cfg, data, str(tmp_path / "dp8"),
+                      stages=("geometry_searching",), mesh=mesh)
+
+    h1 = np.asarray(r1["geometry_searching"].psnr_history)
+    h8 = np.asarray(r8["geometry_searching"].psnr_history)
+    np.testing.assert_allclose(h1, h8, atol=5e-3)
+    np.testing.assert_allclose(
+        np.asarray(r1["geometry_searching"].params["sdf"]),
+        np.asarray(r8["geometry_searching"].params["sdf"]),
+        atol=1e-5,
+    )
+
+
+def test_build_mesh_specs():
+    from fgs_nerf_tpu.parallel.mesh import build_mesh
+
+    assert build_mesh("none") is None
+    m = build_mesh("dp=4,sp=2")
+    assert m.axis_names == ("dp", "sp")
+    assert m.devices.shape == (4, 2)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        build_mesh("dp=64")
+    with _pytest.raises(ValueError):
+        build_mesh("dp")
