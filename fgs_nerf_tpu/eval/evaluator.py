@@ -108,4 +108,33 @@ def evaluate_checkpoint(
     mesh_path = os.path.join(out_dir, "meshes", f"{stage_label}.ply")
     write_ply(mesh_path, verts, tris)
     log.info(f"mesh ({len(verts)} verts, {len(tris)} tris) saved at {mesh_path}")
+
+    # DTU Chamfer vs the ground-truth point cloud.  The reference ships
+    # this (`model/dtu_eval.py:37-187`) with the call site commented at
+    # `model/utils.py:483-490`; here it runs whenever the DTU ObsMask
+    # data is present, writing result.txt next to the mesh.
+    if cfg.data.dataset_type == "dtu" and scene:
+        dtu_dir = os.path.dirname(
+            os.path.abspath(str(cfg.data.datadir).rstrip("/"))
+        )
+        obsmask = os.path.join(dtu_dir, "ObsMask", f"ObsMask{scene}_10.mat")
+        if os.path.exists(obsmask):
+            from fgs_nerf_tpu.eval.dtu_chamfer import dtu_chamfer
+
+            d2s, s2d, overall = dtu_chamfer(
+                mesh_path, scene, dtu_dir,
+                eval_dir=os.path.join(out_dir, "meshes"),
+                suffix=stage_label,
+            )
+            log.info(
+                f"DTU chamfer scan{scene}: "
+                f"[ d2s: {d2s:.3f} | s2d: {s2d:.3f} | mean: {overall:.3f} ]"
+            )
+            if stats is not None:
+                stats["chamfer"] = overall
+        else:
+            log.warning(
+                f"DTU chamfer skipped: no ObsMask data at {obsmask} "
+                "(expected <dtu_root>/ObsMask + <dtu_root>/Points/stl)"
+            )
     return stats, mesh_path

@@ -471,42 +471,29 @@ def _topk_select(weights, live, k):
     return idx, vals > 0.0
 
 
-@jax.custom_vjp
 def _gather_slots_3d(x, idx):
-    """take_along_axis over the sample axis for [N, S, C].
+    """take_along_axis over the sample axis for [N, S, C], computed as
+    a batched one-hot matmul ``onehot[N, K, S] @ x[N, S, C]``.
 
-    Custom VJP: the backward of a per-row gather is a per-row scatter,
-    which XLA prices per element (~5 ns) — for the shading selection
-    that's another 100+ ms/step.  Top-k indices are unique within a
-    row, so the transpose is exactly ``onehot^T @ g``: a batched MXU
-    matmul at a tiny fraction of the cost.  The forward flattens to a
-    global row gather: XLA also prices batched take_along_axis per
-    element, while a flat ``jnp.take`` is per-row.
+    On TPU a per-(ray, k) row gather prices 30-50 ns/row at this row
+    width (measured, ``scripts/microbench_gather.py`` section A: flat
+    take 108.8 ms vs one-hot matmul 1.9 ms for [8192, 288, 19] ->
+    [8192, 256, 19]) while the MXU eats the equivalent matmul for free
+    — the one-hot comparison fuses into the operand.  fp32 keeps the
+    selection exact (0/1 weights).  Autodiff's transpose of the
+    dot_general is ``onehot^T @ g`` — the identical MXU formulation —
+    so no custom VJP is needed.
     """
     n, s, c = x.shape
     k = idx.shape[1]
-    rows = (jnp.arange(n, dtype=jnp.int32)[:, None] * s + idx).reshape(-1)
-    return jnp.take(x.reshape(n * s, c), rows, axis=0).reshape(n, k, c)
-
-
-def _gather_slots_3d_fwd(x, idx):
-    return _gather_slots_3d(x, idx), (x.shape, idx)
-
-
-def _gather_slots_3d_bwd(res, g):
-    x_shape, idx = res
-    n, s, c = x_shape
-    k = idx.shape[1]
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, k, s), 2)
-    onehot = (idx[..., None] == iota_s).astype(g.dtype)  # [N, K, S]
-    grad_x = jax.lax.dot_general(
-        onehot, g, (((1,), (1,)), ((0,), (0,))),
+    onehot = jax.lax.stop_gradient(
+        (idx[..., None] == iota_s).astype(x.dtype)
+    )  # [N, K, S]
+    return jax.lax.dot_general(
+        onehot, x, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )  # [N, S, C]
-    return grad_x, None
-
-
-_gather_slots_3d.defvjp(_gather_slots_3d_fwd, _gather_slots_3d_bwd)
+    )
 
 
 def _gather_slots(x, idx):
