@@ -70,6 +70,50 @@ def extract_mesh_from_params(
     return verts, tris
 
 
+def render_pose_path(
+    ckpt_path: str, cfg, data_dict, out_dir: str, *,
+    logger=None, fps: int = 30,
+):
+    """``--render_only``: reload weights and render the loader's
+    ``render_poses`` camera path (reference `run.py:116-117`,
+    `model/utils.py:251-441`; loaders shape the path via
+    ``movie_render_kwargs``).  Writes frames + video.mp4/gif when an
+    encoder is available."""
+    log = logger or logging.getLogger("fgs")
+    geo_ckpt = os.path.join(os.path.dirname(ckpt_path), "geometry_searching_last.npz")
+    params, buffers, cfg_model, box, ckpt = rebuild_model(ckpt_path, geo_ckpt)
+    s_val = float(np.asarray(ckpt.params["s_val"]).reshape(-1)[0])
+
+    render_poses = np.asarray(data_dict["render_poses"])
+    i0 = int(np.asarray(data_dict["i_test"]).reshape(-1)[0])
+    hw = np.repeat(np.asarray(data_dict["HW"])[i0][None], len(render_poses), 0)
+    ks = np.repeat(np.asarray(data_dict["Ks"])[i0][None], len(render_poses), 0)
+    conv = dict(
+        ndc=cfg.data.ndc, inverse_y=cfg.data.inverse_y,
+        flip_x=cfg.data.flip_x, flip_y=cfg.data.flip_y,
+    )
+    rc = make_render_fn(
+        cfg_model, box, near=float(data_dict["near"]),
+        bg=1.0 if cfg.data.white_bkgd else 0.0,
+    )
+    savedir = os.path.join(out_dir, "render_path")
+    stats = render_viewpoints(
+        rc, params, buffers, render_poses[:, :3, :4], hw, ks, conv, s_val,
+        savedir=savedir, logger=log,
+    )
+    frames = [np.asarray(np.clip(r, 0, 1) * 255, np.uint8) for r in stats["rgbs"]]
+    try:
+        import imageio.v2 as imageio
+
+        imageio.mimwrite(
+            os.path.join(savedir, "video.mp4"), frames, fps=fps, quality=8
+        )
+        log.info(f"path video saved at {savedir}/video.mp4")
+    except Exception as e:  # no ffmpeg in minimal images — frames remain
+        log.warning(f"mp4 encode unavailable ({e}); frames are in {savedir}")
+    return savedir
+
+
 def evaluate_checkpoint(
     ckpt_path: str, cfg, data_dict, out_dir: str, *,
     eval_ssim=True, eval_lpips=False, mesh_resolution=1024, only_mesh=False,

@@ -46,11 +46,19 @@ def mlp_apply(
     for i in range(n):
         w, b = params[f"w{i}"], params[f"b{i}"]
         if bf16:
+            # Hidden activations stay bf16 end to end: the MXU
+            # accumulates fp32 internally regardless of the requested
+            # output dtype, and materializing fp32 [M, W] intermediates
+            # between layers made the heads HBM-bound (measured 31 ms
+            # -> the matmul flops alone are ~4 ms).  Only the final
+            # layer emits fp32 for the caller's sigmoid/compositing.
+            last = i == n - 1
+            out_t = jnp.float32 if last else jnp.bfloat16
             x = jnp.dot(
-                x, w.astype(jnp.bfloat16), preferred_element_type=jnp.float32
-            ) + b
-            if i < n - 1:
-                x = jax.nn.relu(x).astype(jnp.bfloat16)
+                x, w.astype(jnp.bfloat16), preferred_element_type=out_t
+            ) + b.astype(out_t)
+            if not last:
+                x = jax.nn.relu(x)
         else:
             x = x @ w + b
             if i < n - 1:

@@ -47,6 +47,16 @@ def _block_accumulate(ranks: jnp.ndarray, upd: jnp.ndarray, n_ranks_cap: int):
     """D[rank] += upd via blockwise one-hot matmuls.
 
     ranks: [M] non-decreasing; upd: [M, C].  Returns D [n_ranks_cap, C].
+
+    Two phases: (1) ONE batched MXU matmul computes every block's
+    window contribution ``P[b] = onehot[b]^T @ upd[b]`` — the one-hot
+    comparison fuses into the matmul operand, so the [nb, W, B] one-hot
+    is never materialized (same fusion XLA performs for the top-K
+    shading gather, measured in ``scripts/microbench_gather.py`` A);
+    (2) a scan adds each window into the rank buffer at its offset —
+    the only sequential part, now just slice+add+update per block
+    instead of carrying the matmul serially (was ~16 us/block on v5e,
+    the combine alone is ~4 us).
     """
     m, c = upd.shape
     pad = (-m) % BLOCK
@@ -59,22 +69,21 @@ def _block_accumulate(ranks: jnp.ndarray, upd: jnp.ndarray, n_ranks_cap: int):
     upd_b = upd.reshape(nb, BLOCK, c)
     # window start per block, clamped so the window fits the buffer
     w0 = jnp.minimum(ranks_b[:, 0], n_ranks_cap - BLOCK)
-    iota_w = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 0)
+    local = ranks_b - w0[:, None]  # in [0, BLOCK)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK, BLOCK), 1)
+    onehot = (iota_w == local[:, None, :]).astype(upd.dtype)  # [nb, W, B]
+    p = jax.lax.dot_general(
+        onehot, upd_b, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [nb, W, C]
 
     def body(d, inp):
-        rb, ub, w0b = inp
-        local = rb - w0b  # in [0, BLOCK)
-        onehot = (iota_w == local[None, :]).astype(ub.dtype)  # [W, B]
-        contrib = jax.lax.dot_general(
-            onehot, ub, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [W, C]
+        pb, w0b = inp
         win = jax.lax.dynamic_slice(d, (w0b, 0), (BLOCK, c))
-        d = jax.lax.dynamic_update_slice(d, win + contrib, (w0b, 0))
-        return d, None
+        return jax.lax.dynamic_update_slice(d, win + pb, (w0b, 0)), None
 
     d0 = jnp.zeros((n_ranks_cap, c), jnp.float32)
-    d, _ = jax.lax.scan(body, d0, (ranks_b, upd_b, w0))
+    d, _ = jax.lax.scan(body, d0, (p, w0))
     return d
 
 

@@ -36,6 +36,9 @@ def config_parser():
     p.add_argument("--eval_ssim", default=True)
     p.add_argument("--eval_lpips", default=False)
     p.add_argument("--seed", type=int, default=777)
+    p.add_argument("--render_only", action="store_true",
+                   help="do not optimize; reload weights and render the "
+                        "render_poses camera path (reference run.py:116)")
     p.add_argument("--mesh", type=str, default="auto",
                    help="device mesh: 'auto' (dp over all devices), 'none', "
                         "or explicit 'dp=N[,sp=M]'")
@@ -88,6 +91,13 @@ def main():
         f"hw={data_dict['hwf'][:2]} near/far={data_dict['near']}/{data_dict['far']}"
     )
 
+    if args.render_only:
+        from fgs_nerf_tpu.eval.evaluator import render_pose_path
+
+        ckpt_path = _find_checkpoint(out_dir)
+        render_pose_path(ckpt_path, cfg, data_dict, out_dir, logger=log)
+        return
+
     if args.mode == "train":
         from fgs_nerf_tpu.train.pipeline import run_training
 
@@ -119,26 +129,23 @@ def main():
         raise SystemExit(f"unknown mode {args.mode}")
 
 
+def _find_checkpoint(out_dir):
+    for stage in ("fine", "coarse", "geometry_searching"):
+        p = os.path.join(out_dir, f"{stage}_last.npz")
+        if os.path.exists(p):
+            return p
+    raise SystemExit(
+        f"no checkpoint found under {out_dir} — train first "
+        "(expected fine_last.npz / coarse_last.npz / "
+        "geometry_searching_last.npz)"
+    )
+
+
 def _evaluate(args, cfg, data_dict, out_dir, cfg_model, _unused, log,
               mesh_resolution=1024):
-    import numpy as np
-    import jax.numpy as jnp
-
     from fgs_nerf_tpu.eval.evaluator import evaluate_checkpoint
 
-    ckpt_path = os.path.join(out_dir, "fine_last.npz")
-    if not os.path.exists(ckpt_path):
-        for stage in ("coarse", "geometry_searching"):
-            alt = os.path.join(out_dir, f"{stage}_last.npz")
-            if os.path.exists(alt):
-                ckpt_path = alt
-                break
-        else:
-            raise SystemExit(
-                f"no checkpoint found under {out_dir} — train first "
-                "(expected fine_last.npz / coarse_last.npz / "
-                "geometry_searching_last.npz)"
-            )
+    ckpt_path = _find_checkpoint(out_dir)
     evaluate_checkpoint(
         ckpt_path, cfg, data_dict, out_dir,
         eval_ssim=bool(args.eval_ssim), eval_lpips=bool(args.eval_lpips),

@@ -121,6 +121,32 @@ def main():
     for name, dur in sorted(totals.items(), key=lambda kv: -kv[1])[:40]:
         print(f"{dur/1e3/n_steps:9.2f} ms/step  x{counts[name]//n_steps:<4d} {name[:110]}")
 
+    # Join trace op names with the optimized HLO's source metadata (if a
+    # dump exists — scripts/dump_hlo.py writes it) and aggregate by
+    # source line: surfaces the long tail the per-op view hides.
+    hlo_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/step_hlo.txt"
+    if not os.path.exists(hlo_path):
+        return
+    import re
+
+    src_of = {}
+    pat = re.compile(
+        r"%(\S+?) = .*?source_file=\"([^\"]+)\" source_line=(\d+)"
+    )
+    with open(hlo_path) as f:
+        for line in f:
+            m = pat.search(line)
+            if m:
+                src_of[m.group(1)] = f"{m.group(2).split('/')[-1]}:{m.group(3)}"
+    by_src = defaultdict(float)
+    for name, dur in totals.items():
+        if name.startswith("jit_") or counts[name] == 0:
+            continue
+        by_src[src_of.get(name, f"<unattributed> {name[:40]}")] += dur
+    print("\n--- by source line (needs a fresh dump_hlo.py run) ---")
+    for src, dur in sorted(by_src.items(), key=lambda kv: -kv[1])[:30]:
+        print(f"{dur/1e3/n_steps:9.2f} ms/step  {src}")
+
 
 if __name__ == "__main__":
     main()

@@ -77,3 +77,14 @@ def test_full_pipeline_runs(tiny_cfg, dataset, tmp_path_factory):
     )
     assert np.isfinite(stats["psnr"]).all()
     assert stats["rgbs"][0].shape == (40, 40, 3)
+
+    # --render_only path render over render_poses (reference run.py:116)
+    from fgs_nerf_tpu.eval.evaluator import render_pose_path
+
+    small = dict(dataset)
+    small["render_poses"] = np.asarray(dataset["render_poses"])[:2]
+    savedir = render_pose_path(res.ckpt_path, tiny_cfg, small, out)
+    import os
+
+    frames = [f for f in os.listdir(savedir) if f.startswith("render_")]
+    assert len(frames) == len(small["render_poses"]) >= 1
