@@ -31,7 +31,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-BLOCK = 1024  # samples per scan step == rank window size
+BLOCK = 2048  # samples per scan step == rank window size
 
 
 def _rank_compress(rows_sorted: jnp.ndarray) -> jnp.ndarray:
