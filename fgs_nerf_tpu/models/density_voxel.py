@@ -22,10 +22,11 @@ import jax.numpy as jnp
 from fgs_nerf_tpu.core.box import SceneBox, grid_resolution, max_samples_per_ray
 from fgs_nerf_tpu.models.sdf_voxel import (
     _compact_valid,
+    _pts_at_steps,
     _safe_norm,
     mask_cache_query,
 )
-from fgs_nerf_tpu.ops.interp import trilinear_sample
+from fgs_nerf_tpu.ops.interp import resize_trilinear, trilinear_sample
 from fgs_nerf_tpu.ops.ray_sample import sample_along_rays
 from fgs_nerf_tpu.ops.stencils import sdf_gradient
 from fgs_nerf_tpu.ops.transmittance import alpha_to_weights
@@ -107,7 +108,8 @@ def forward(
     if "mask_cache" in buffers:
         valid = valid & mask_cache_query(buffers["mask_cache"], pts, cfg.mask_cache_thres)
     if 0 < cfg.sample_k < cfg.s_max:
-        pts, valid, steps, _ = _compact_valid(pts, valid, cfg.sample_k)
+        valid, steps, _ = _compact_valid(valid, cfg.sample_k)
+        pts = _pts_at_steps(rays_o, rays_d, rs.t_min, steps, cfg.step_dist)
 
     interval = jnp.asarray(cfg.stepsize * cfg.voxel_size_ratio, jnp.float32)
     density = trilinear_sample(params["density"], pts, box)[..., 0]
@@ -141,6 +143,17 @@ def forward(
     }
 
 
+def scale_volume_grid(
+    params: Dict[str, Any], new_cfg: DensityModelConfig
+) -> Dict[str, Any]:
+    """Trilinear upsample of density + k0 at a pg_scale rung
+    (`model/dvgo.py` ``scale_volume_grid`` via `model/grid.py:101-106`)."""
+    params = dict(params)
+    params["density"] = resize_trilinear(params["density"], new_cfg.world_size)
+    params["k0"] = resize_trilinear(params["k0"], new_cfg.world_size)
+    return params
+
+
 def build_alpha_grid(params, cfg: DensityModelConfig) -> jnp.ndarray:
     """Checkpoint-time occupancy for the dvgo-init MaskGrid handoff
     (`model/grid.py:259-262` uses a saved ``alpha.grid``): voxel-wise
@@ -148,3 +161,25 @@ def build_alpha_grid(params, cfg: DensityModelConfig) -> jnp.ndarray:
     return activate_density(
         params["density"], cfg.stepsize * cfg.voxel_size_ratio, cfg.act_shift
     )
+
+
+def build_sdf_mask(
+    params, cfg: DensityModelConfig, thres: float = 1e-3
+) -> jnp.ndarray:
+    """Occupancy summary in the SDF checkpoint schema.
+
+    The reference's ``--dvgo_init`` handoff is latent/broken as shipped:
+    ``geometry_searching_last.tar`` written by the dvgo driver
+    (`model/coarse_geometry_searching.py:370-380`) carries no
+    ``sdf_mask.grid``, but the downstream coarse stage's MaskCache and
+    bbox shrink read exactly that key (`model/nerf.py:1192-1200`,
+    `model/nerf_training.py:40-58`) — running the shipped path would
+    KeyError.  The dvgo model's *intended* occupancy semantics are its
+    own MaskGrid construction (`model/grid.py:259-262`): activated
+    alpha >= thres.  We export that test in the sdf_mask schema
+    (occupied -> 1e-3, matching ``set_sdf_mask``'s scaling at
+    `model/nerf.py:181-186`) so the next stage consumes a dvgo
+    checkpoint identically to an SDF one.
+    """
+    alpha = build_alpha_grid(params, cfg)
+    return jnp.where(alpha >= thres, 1e-3, 0.0).astype(jnp.float32)

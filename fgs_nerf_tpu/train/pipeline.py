@@ -28,6 +28,7 @@ def run_training(
     i_print: int = 500,
     i_validate: int = 0,
     resume: bool = False,
+    dvgo_init: bool = False,
 ) -> Dict[str, StageResult]:
     log = logger or logging.getLogger("fgs")
     os.makedirs(out_dir, exist_ok=True)
@@ -40,12 +41,23 @@ def run_training(
     if "geometry_searching" in stages:
         xyz_min, xyz_max = bbox_lib.compute_bbox_by_cam_frustrm(cfg, data_dict)
         log.info(f"frustum bbox: {xyz_min} .. {xyz_max}")
-        results["geometry_searching"] = train_stage(
-            cfg, "geometry_searching", data_dict, xyz_min, xyz_max, out_dir,
-            mesh=mesh, logger=log, i_print=i_print, i_validate=i_validate,
-            resume=resume,
-            n_iters_override=n_iters_override.get("geometry_searching"),
-        )
+        if dvgo_init:
+            # alternate geometry search with the DVGO density model
+            # (`run.py:30-36`, `coarse_geometry_searching.py:105-380`)
+            from fgs_nerf_tpu.train.density_trainer import train_density_stage
+
+            results["geometry_searching"] = train_density_stage(
+                cfg, data_dict, xyz_min, xyz_max, out_dir,
+                mesh=mesh, logger=log, i_print=i_print,
+                n_iters_override=n_iters_override.get("geometry_searching"),
+            )
+        else:
+            results["geometry_searching"] = train_stage(
+                cfg, "geometry_searching", data_dict, xyz_min, xyz_max, out_dir,
+                mesh=mesh, logger=log, i_print=i_print, i_validate=i_validate,
+                resume=resume,
+                n_iters_override=n_iters_override.get("geometry_searching"),
+            )
 
     if "coarse" in stages or "fine" in stages:
         xyz_min_t, xyz_max_t = bbox_lib.compute_bbox_by_coarse_geo(geo_ckpt)

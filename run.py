@@ -25,6 +25,9 @@ def config_parser():
     p.add_argument("--output_dir", type=str, default="./results")
     p.add_argument("--mode", type=str, default="train", help="train | eval")
     p.add_argument("--dataset_type", type=str, default="")
+    p.add_argument("--dvgo_init", default=False, type=lambda s: s not in ("0", "False", "false"),
+                   help="use the DVGO density model for the geometry-"
+                        "searching stage (reference run.py:30-36)")
     p.add_argument("--geometry_searching", default=True, type=lambda s: s not in ("0", "False", "false"))
     p.add_argument("--coarse_training", default=True, type=lambda s: s not in ("0", "False", "false"))
     p.add_argument("--fine_training", default=True, type=lambda s: s not in ("0", "False", "false"))
@@ -116,7 +119,7 @@ def main():
         if args.fine_training:
             stages.append("fine")
         results = run_training(cfg, data_dict, out_dir, stages=tuple(stages),
-                               mesh=mesh,
+                               mesh=mesh, dvgo_init=args.dvgo_init,
                                i_print=args.i_print, i_validate=args.i_validate)
         # end-of-training eval render + mesh of the last stage
         last = results[stages[-1]]

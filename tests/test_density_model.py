@@ -49,3 +49,42 @@ def test_density_forward(rng):
     g = jax.grad(loss)(params)
     assert float(jnp.abs(g["density"]).sum()) > 0
     assert float(jnp.abs(g["k0"]).sum()) > 0
+
+
+def test_dvgo_init_stage_driver(tmp_path):
+    """`run_training(dvgo_init=True)` trains the density geometry search
+    and the coarse stage consumes its mask checkpoint
+    (`run.py:30-36`, `coarse_geometry_searching.py:105-380`)."""
+    import os
+
+    from fgs_nerf_tpu.config.base import Cfg, deep_update, load_config
+    from fgs_nerf_tpu.data.synthetic import make_synthetic_dataset
+    from fgs_nerf_tpu.train.checkpoint import load_checkpoint
+    from fgs_nerf_tpu.train.pipeline import run_training
+
+    tiny = dict(
+        dvgo=dict(N_iters=20, N_rand=256, pg_scale=[6],
+                  pervoxel_lr=True, pervoxel_lr_downrate=2),
+        dvgo_model=dict(num_voxels=16**3, num_voxels_base=16**3,
+                        alpha_init=0.01, sample_k=0),
+        coarse_train=dict(
+            N_iters=8, N_rand=256, pg_scale=[], save_iter=10**9,
+            decay_step_module={}, tv_updates={},
+        ),
+        coarse_model=dict(num_voxels=20**3, num_voxels_base=20**3, shade_k=32),
+    )
+    cfg = Cfg(deep_update(dict(load_config("shiny_blender")), tiny))
+    data = make_synthetic_dataset(n_views=4, h=24, w=24, n_test=1)
+    out = str(tmp_path / "dvgo_run")
+    results = run_training(
+        cfg, data, out, stages=("geometry_searching", "coarse"),
+        dvgo_init=True,
+    )
+    geo = results["geometry_searching"]
+    assert "density" in geo.params and "k0" in geo.params
+    assert np.isfinite(geo.psnr_history).all()
+    # handoff artifact: sdf_mask present and nonempty, coarse ran off it
+    ck = load_checkpoint(os.path.join(out, "geometry_searching_last.npz"))
+    assert ck.sdf_mask is not None and (np.asarray(ck.sdf_mask) > 0).any()
+    assert "coarse" in results
+    assert np.isfinite(results["coarse"].psnr_history).all()
