@@ -9,19 +9,17 @@ BASELINE.md).  This module replaces it with an MXU formulation:
 1. sort the sample stream by base-cell row (one shared sort — every
    corner's rows are the base row plus a constant offset, so base order
    sorts all 8 corner streams);
-2. rank-compress the sorted rows (ranks advance by <=1 per sample, so
-   any block of B consecutive samples spans <= B ranks — a guaranteed
-   static window, no spill path needed);
-3. accumulate each block into its rank window with a one-hot matmul
-   ``onehot[W, B] @ updates[B, C]`` on the MXU via ``lax.scan`` (the
-   only sequential part, ~B-sized steps);
-4. expand rank space back to the dense grid with a *gather*
-   (``D[rank_map[row - corner_offset]]``) — gathers are per-row and
-   width-independent, so this is ~10 ms where a scatter would pay per
-   element — then combine corners as spatially shifted dense adds.
+2. accumulate the sorted stream into the dense (padded) row space with
+   the sliding-window one-hot MXU kernel
+   (``ops.pallas.scatter_combine.dense_accumulate_pallas``) — each
+   dense row is written to HBM exactly once;
+3. combine corners as spatially shifted dense adds.
 
 The result is exact (every update lands, fp32 accumulation) and
-deterministic (duplicate rows write identical rank values).
+deterministic (sorted order fixes the duplicate-row reduction order).
+On CPU backends (tests / the virtual mesh) the accumulation falls back
+to XLA's serial scatter-add over the sorted stream — same values,
+no Mosaic dependency.
 """
 from __future__ import annotations
 
@@ -31,74 +29,33 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-BLOCK = 2048  # samples per scan step == rank window size
+BLOCK = 2048  # samples per kernel block (best of 1024/2048/4096 sweep)
 
 
 @functools.lru_cache(maxsize=1)
 def _use_pallas_combine() -> bool:
-    """The fused Pallas combine kernel runs only on real TPU backends
-    (Mosaic); CPU tests and the virtual mesh use the XLA scan path."""
+    """The fused Pallas kernel runs only on real TPU backends (Mosaic);
+    CPU tests and the virtual mesh use the XLA scatter-add path."""
     try:
         return jax.default_backend() in ("tpu", "axon")
     except Exception:
         return False
 
 
-def _rank_compress(rows_sorted: jnp.ndarray) -> jnp.ndarray:
-    """Dense ranks of a sorted int array (0-based, ties share a rank)."""
-    newseg = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32),
-         (rows_sorted[1:] != rows_sorted[:-1]).astype(jnp.int32)]
-    )
-    return jnp.cumsum(newseg)
-
-
-def _block_accumulate(ranks: jnp.ndarray, upd: jnp.ndarray, n_ranks_cap: int):
-    """D[rank] += upd via blockwise one-hot matmuls.
-
-    ranks: [M] non-decreasing; upd: [M, C].  Returns D [n_ranks_cap, C].
-
-    Two phases: (1) ONE batched MXU matmul computes every block's
-    window contribution ``P[b] = onehot[b]^T @ upd[b]`` — the one-hot
-    comparison fuses into the matmul operand, so the [nb, W, B] one-hot
-    is never materialized (same fusion XLA performs for the top-K
-    shading gather, measured in ``scripts/microbench_gather.py`` A);
-    (2) a scan adds each window into the rank buffer at its offset —
-    the only sequential part, now just slice+add+update per block
-    instead of carrying the matmul serially (was ~16 us/block on v5e,
-    the combine alone is ~4 us).
-    """
+def _dense_accumulate(rows_sorted: jnp.ndarray, upd: jnp.ndarray, cap: int):
+    """D[row] += upd over a sorted row stream -> dense [cap, C] f32."""
     if _use_pallas_combine():
-        from fgs_nerf_tpu.ops.pallas.scatter_combine import block_accumulate_pallas
+        from fgs_nerf_tpu.ops.pallas.scatter_combine import dense_accumulate_pallas
 
-        return block_accumulate_pallas(ranks, upd, n_ranks_cap, block=BLOCK)
-    m, c = upd.shape
-    pad = (-m) % BLOCK
-    if pad:
-        # padded samples point at the last rank with zero updates
-        ranks = jnp.concatenate([ranks, jnp.full((pad,), ranks[-1], ranks.dtype)])
-        upd = jnp.concatenate([upd, jnp.zeros((pad, c), upd.dtype)])
-    nb = ranks.shape[0] // BLOCK
-    ranks_b = ranks.reshape(nb, BLOCK)
-    upd_b = upd.reshape(nb, BLOCK, c)
-    # window start per block, clamped so the window fits the buffer
-    w0 = jnp.minimum(ranks_b[:, 0], n_ranks_cap - BLOCK)
-    local = ranks_b - w0[:, None]  # in [0, BLOCK)
-    iota_w = jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK, BLOCK), 1)
-    onehot = (iota_w == local[:, None, :]).astype(upd.dtype)  # [nb, W, B]
-    p = jax.lax.dot_general(
-        onehot, upd_b, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # [nb, W, C]
-
-    def body(d, inp):
-        pb, w0b = inp
-        win = jax.lax.dynamic_slice(d, (w0b, 0), (BLOCK, c))
-        return jax.lax.dynamic_update_slice(d, win + pb, (w0b, 0)), None
-
-    d0 = jnp.zeros((n_ranks_cap, c), jnp.float32)
-    d, _ = jax.lax.scan(body, d0, (p, w0))
-    return d
+        return dense_accumulate_pallas(rows_sorted, upd, cap, block=BLOCK)
+    # CPU path: XLA applies scatter updates serially in operand order,
+    # which over the sorted stream matches the kernel's deterministic
+    # per-row accumulation order.
+    return (
+        jnp.zeros((cap, upd.shape[1]), jnp.float32)
+        .at[rows_sorted]
+        .add(upd.astype(jnp.float32))
+    )
 
 
 def corner_scatter_grid_grad(
@@ -125,16 +82,13 @@ def corner_scatter_grid_grad(
     rows_base = (base_p[:, 0] * yp + base_p[:, 1]) * zp + base_p[:, 2]
 
     m = rows_base.shape[0]
-    cap = max(n_rows_ext, BLOCK)
-    # All 8 corners share the sort/ranks; their updates are stacked as
-    # channel groups so ONE block scan accumulates everything (the scan
-    # is the only sequential part — 8x fewer iterations and the one-hot
-    # matmul amortizes over 8C channels).  Updates are built BEFORE the
-    # permutation: v5e row-gather cost is bimodal in row width
-    # (microbench_gather.py section D — 64-256-byte rows are 3-7x
-    # slower per row than 512-byte rows), so ONE 8C-wide permutation
-    # gather of the finished updates beats permuting the narrow
-    # [i0|fracs|g] pack and building updates afterwards.
+    # All 8 corners share the sort; their updates are stacked as channel
+    # groups so ONE accumulation machine handles everything.  Updates
+    # are built BEFORE the permutation: v5e row-gather cost is bimodal
+    # in row width (microbench_gather.py section D — 64-256-byte rows
+    # are 3-7x slower per row than 512-byte rows), so ONE 8C-wide
+    # permutation gather of the finished updates beats permuting the
+    # narrow [i0|fracs|g] pack and building updates afterwards.
     corners = [(dx, dy, dz) for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)]
     upd_groups = []
     for dx, dy, dz in corners:
@@ -154,18 +108,10 @@ def corner_scatter_grid_grad(
     rows_s, order = jax.lax.sort((rows_base, iota), dimension=0, num_keys=1)
     upd_all = jnp.take(upd_unsorted, order, axis=0)
 
-    ranks = _rank_compress(rows_s)
-    # rank+1 scattered into zeros fuses the rank map and the presence
-    # mask into one scatter (0 == row absent from the stream).
-    rank_map1 = jnp.zeros((n_rows_ext,), jnp.int32).at[rows_s].set(ranks + 1)
-
-    d = _block_accumulate(ranks, upd_all, cap)
-    d = jnp.concatenate([jnp.zeros((1, d.shape[1]), d.dtype), d], axis=0)
-    # dense expansion by GATHER (per-row, width-free): the contribution
-    # to node v from corner offset o comes from base v - o, i.e.
-    # padded coord v - o + 1.  Absent rows hit the zero guard row 0.
-    dense = jnp.take(d, rank_map1, axis=0)
+    dense = _dense_accumulate(rows_s, upd_all, n_rows_ext)
     dense = dense.reshape(xp, yp, zp, 8 * c)
+    # The contribution to node v from corner offset o comes from base
+    # v - o, i.e. padded coord v - o + 1: 8 shifted dense adds.
     grid_grad = jnp.zeros((x, y, z, c), jnp.float32)
     for k, (dx, dy, dz) in enumerate(corners):
         sx, sy, sz = 1 - dx, 1 - dy, 1 - dz

@@ -69,12 +69,12 @@ def bench(name, body, *args):
 
 
 def main():
-    sections = set(sys.argv[1]) if len(sys.argv) > 1 else set("ABCD")
-    unknown = sections - set("ABCD")
+    sections = set(sys.argv[1]) if len(sys.argv) > 1 else set("ABCDE")
+    unknown = sections - set("ABCDE")
     if unknown:
         raise SystemExit(
             f"unknown section(s) {sorted(unknown)}; usage: "
-            f"{sys.argv[0]} [sections from 'ABCD', e.g. 'AD']"
+            f"{sys.argv[0]} [sections from 'ABCDE', e.g. 'AD']"
         )
     rng = np.random.default_rng(0)
     a = jnp.asarray(rng.normal(size=(4096, 4096)).astype(np.float32))
@@ -182,6 +182,38 @@ def main():
             src = jnp.asarray(rng.normal(size=(M, w)).astype(np.float32)).astype(jnp.bfloat16)
             bench(f"D. take {M}x{w} bf16",
                   lambda i, s, r: jnp.take(s, (r + i) % M, axis=0), src, rows_flat)
+
+    # E. row-gather cost vs INDEX DISTRIBUTION at the pass-1 row width
+    # (512 B).  Decides whether a locality-preserving pack layout
+    # (bricked / Morton cells) can speed the hot gather without any
+    # sample sort: if the engine rewards line reuse, ray-coherent index
+    # streams should price well below random.
+    if "E" in sections:
+        nsrc = GX * GY * GZ
+        src = jnp.asarray(rng.normal(size=(nsrc, 128)).astype(np.float32))
+        take = lambda i, s, r: jnp.take(s, (r + i) % nsrc, axis=0)
+
+        r_rand = jnp.asarray(rng.integers(0, nsrc, size=(M,)).astype(np.int32))
+        bench("E. 512B rows random", take, src, r_rand)
+        bench("E. 512B rows sorted", take, src, jnp.sort(r_rand))
+        # per-ray walks: base + s*stride for each of N rays, S steps
+        base = rng.integers(0, nsrc - S * 300, size=(N, 1)).astype(np.int32)
+        for stride, tag in ((1, "z-walk +1"), (GZ, "y-walk +114"),
+                            (GY * GZ, "x-walk +12996"), (64, "brick-walk +64")):
+            walk = (base + np.arange(S, dtype=np.int32)[None, :] * stride)
+            bench(f"E. 512B rows {tag}", take, src,
+                  jnp.asarray(walk.reshape(-1) % nsrc))
+        # same-row repeats (step 0.5 voxel: ~2 samples/cell)
+        rep = np.repeat(rng.integers(0, nsrc, size=(M // 2,)), 2).astype(np.int32)
+        bench("E. 512B rows pairwise-dup", take, src, jnp.asarray(rep))
+        srcb = src.astype(jnp.bfloat16)
+        bench("E. 256B bf16 rows random", take, srcb, r_rand)
+        # scalar unsort candidates
+        vals = jnp.asarray(rng.normal(size=(M, 8)).astype(np.float32))
+        perm = jnp.asarray(rng.permutation(M).astype(np.int32))
+        bench("E. scatter-rows Mx8 f32",
+              lambda i, v, p: jnp.zeros((M, 8), jnp.float32).at[(p + i) % M].set(v),
+              vals, perm)
 
 
 if __name__ == "__main__":
