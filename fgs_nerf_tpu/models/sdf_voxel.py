@@ -163,6 +163,15 @@ def make_model_config(
     world_size, voxel_size = grid_resolution(xyz_min, xyz_max, num_voxels)
     _, voxel_size_base = grid_resolution(xyz_min, xyz_max, num_voxels_base)
     s_max = max_samples_per_ray(world_size, stepsize)
+    # Capacity auto-derivation: -1 means "exact from grid geometry" —
+    # the full lattice depth, so no sample can ever overflow (the
+    # compaction then only strips the lattice's alignment padding).
+    # Explicit positive values trade exactness for speed; the trainer
+    # warns loudly whenever ``overflow_frac > 0``.
+    if shade_k == -1:
+        shade_k = s_max
+    if kwargs.get("sample_k") == -1:
+        kwargs["sample_k"] = s_max
     return SDFModelConfig(
         stage=stage,
         num_voxels=num_voxels,
@@ -646,6 +655,11 @@ def _shade_coarse(params, cfg: SDFModelConfig, box, pts, viewdirs_pts, normal,
     if cfg.use_viewdir:
         vd_emb = sincos_encode(viewdirs, freq_bank(cfg.viewbase_pe))  # [N, E]
         feats.append(jnp.broadcast_to(vd_emb[:, None, :], (*pts.shape[:2], vd_emb.shape[-1])))
+    if cfg.mlp_bf16:
+        # mlp_apply casts the concat to bf16 anyway; casting each
+        # feature first halves the materialized [N, K, ~100ch] concat
+        # (and its backward) without changing a single MXU input bit.
+        feats = [f.astype(jnp.bfloat16) for f in feats]
     ref_feat = jnp.concatenate(feats, axis=-1)
     return jax.nn.sigmoid(
         mlp_apply(params["refnet"], ref_feat, bf16=cfg.mlp_bf16).astype(jnp.float32)
@@ -786,6 +800,10 @@ def _shade_fine(params, cfg: SDFModelConfig, box, sdf_grid, pts, sdf, gradient,
     # The reference appends the xyz-order center gradient last
     # (`model/nerf.py:865-876`, asserts k_grad_feat == (1.0,)).
     feats.append(gradient)
+    if cfg.mlp_bf16:
+        # pre-cast: identical MXU inputs, half the concat traffic
+        # (see _shade_coarse)
+        feats = [f.astype(jnp.bfloat16) for f in feats]
     rgb_feat = mlp_apply(
         params["rgbnet"], jnp.concatenate(feats, axis=-1), bf16=cfg.mlp_bf16
     )
@@ -793,7 +811,15 @@ def _shade_fine(params, cfg: SDFModelConfig, box, sdf_grid, pts, sdf, gradient,
     viewdirs_pts = jnp.broadcast_to(viewdirs[:, None, :], pts.shape)
     refl = reflect(viewdirs_pts, normal)
     reflect_emb = sincos_encode(refl, freq_bank(cfg.refbase_pe))
-    ref_feat = jnp.concatenate([rgb_feat.astype(jnp.float32), reflect_emb], axis=-1)
+    if cfg.mlp_bf16:
+        ref_feat = jnp.concatenate(
+            [rgb_feat.astype(jnp.bfloat16), reflect_emb.astype(jnp.bfloat16)],
+            axis=-1,
+        )
+    else:
+        ref_feat = jnp.concatenate(
+            [rgb_feat.astype(jnp.float32), reflect_emb], axis=-1
+        )
     return jax.nn.sigmoid(
         mlp_apply(params["refnet"], ref_feat, bf16=cfg.mlp_bf16).astype(jnp.float32)
     )

@@ -23,6 +23,7 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from fgs_nerf_tpu.core.box import SceneBox
 
@@ -157,13 +158,29 @@ def _tri_idx_packed_fwd(grid, idx):
 trilinear_sample_index_packed.defvjp(_tri_idx_packed_fwd, _tri_idx_bwd)
 
 
+PACK_BYTES_CAP = 2 << 30  # 2 GiB: the cell pack is 8x grid bytes
+
+
+def pack_worthwhile(grid_shape, n_samples: int) -> bool:
+    """Should the cell-packed gather be used for this (grid, query) pair?
+
+    The pack build costs ~8x the grid bytes per call; it pays off only
+    when the sample count is of the order of the voxel count (render
+    pass 1) and the pack itself fits comfortably in HBM (a 256^3 x 13ch
+    fp32 fine grid would pack to ~7 GB — use the plain gather there).
+    """
+    x, y, z, c = grid_shape
+    pack_bytes = 8 * 4 * c * (x + 1) * (y + 1) * (z + 1)
+    return pack_bytes <= PACK_BYTES_CAP and n_samples * 4 >= x * y * z
+
+
 def trilinear_sample(
     grid: jnp.ndarray, xyz: jnp.ndarray, box: SceneBox, packed: bool = False
 ) -> jnp.ndarray:
     """Trilinear sample at world coords (parity: `model/grid.py:49-68`)."""
     sizes = jnp.asarray(grid.shape[:3], jnp.float32)
     idx = box.normalize(xyz) * (sizes - 1.0)
-    if packed:
+    if packed and pack_worthwhile(grid.shape, int(np.prod(xyz.shape[:-1]))):
         return trilinear_sample_index_packed(grid, idx)
     return trilinear_sample_index(grid, idx)
 

@@ -25,11 +25,40 @@ EARLY_EXIT_T = 1e-3
 _GUARD = 1e-10
 
 
+def _scan_last(x: jnp.ndarray, op, identity: float, reverse: bool = False):
+    """Hillis-Steele inclusive scan along the last axis.
+
+    XLA's native ``cumprod``/``cumsum`` lower to serial while-loops on
+    TPU (~12 ms/step for the two 8192x288 scans of the bench workload,
+    per the jax.profiler trace); log2(S) statically-shifted elementwise
+    passes over the same arrays cost well under 1 ms.  Products are
+    reassociated exactly as in any parallel scan — the tests' golden
+    serial model agrees to fp32 reassociation tolerance.
+    """
+    s = x.shape[-1]
+    pad_cfg = [(0, 0)] * (x.ndim - 1)
+    y = x
+    shift = 1
+    while shift < s:
+        if reverse:
+            shifted = jnp.pad(
+                y[..., shift:], pad_cfg + [(0, shift)], constant_values=identity
+            )
+        else:
+            shifted = jnp.pad(
+                y[..., :-shift], pad_cfg + [(shift, 0)], constant_values=identity
+            )
+        y = op(y, shifted)
+        shift *= 2
+    return y
+
+
 def _exclusive_cumprod(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     """cumprod shifted right by one, starting at 1."""
-    c = jnp.cumprod(x, axis=axis)
-    one = jnp.ones_like(jnp.take(c, jnp.array([0]), axis=axis))
-    return jnp.concatenate([one, jax.lax.slice_in_dim(c, 0, x.shape[axis] - 1, axis=axis)], axis=axis)
+    assert axis == -1 or axis == x.ndim - 1
+    c = _scan_last(x, jnp.multiply, 1.0)
+    one = jnp.ones_like(c[..., :1])
+    return jnp.concatenate([one, c[..., :-1]], axis=-1)
 
 
 def _forward(alpha: jnp.ndarray, valid: jnp.ndarray):
@@ -71,7 +100,7 @@ def _bwd(res, grads):
     # back_cum_i = g_last * alphainv_last + sum_{j>i} g_w_j * w_j
     # (reference accumulation order, `render_utils_kernel.cu:671-675`).
     gww = g_w * weights
-    suffix = jnp.flip(jnp.cumsum(jnp.flip(gww, axis=-1), axis=-1), axis=-1) - gww
+    suffix = _scan_last(gww, jnp.add, 0.0, reverse=True) - gww
     back_cum = g_last[..., None] * alphainv_last[..., None] + suffix
     # maximum() rather than the reference's `(1-alpha)+1e-10`: XLA may
     # reassociate the literal add into `(1+1e-10)-alpha`, which rounds

@@ -140,6 +140,10 @@ class StageResult:
     box: SceneBox
     ckpt_path: str
     psnr_history: list
+    # mean step metrics over the final i_print window (loss, mse,
+    # overflow_frac, ...) — lets callers assert capacity/quality
+    # invariants without re-running a step
+    last_metrics: Dict[str, float] = dataclasses.field(default_factory=dict)
 
 
 def train_stage(
@@ -331,6 +335,7 @@ def train_stage(
     metric_acc: Dict[str, list] = {}
     t0 = time.time()
     time_log = {"ray_sample": 0.0, "render_opt": 0.0, "log": 0.0}
+    last_metrics: Dict[str, float] = {}
 
     ckpt_path = os.path.join(out_dir, f"{stage}_last.npz")
     os.makedirs(out_dir, exist_ok=True)
@@ -469,7 +474,7 @@ def train_stage(
 
         if global_step % i_print == 0 or global_step == n_iters:
             pending = [jax.device_get(m) for m in metric_acc.pop("_pending", [])]
-            means = {
+            means = last_metrics = {
                 k_: float(np.mean([m[k_] for m in pending]))
                 for k_ in (pending[0] if pending else {})
             }
@@ -485,6 +490,18 @@ def train_stage(
                 f"eps {eps:.0f}s "
                 f"(ray {time_log['ray_sample']:.1f}s step {time_log['render_opt']:.1f}s)"
             )
+            if means.get("overflow_frac", 0.0) > 0.0:
+                # Dropped samples silently bias the composite: the
+                # top-K compaction's exactness claim holds only at
+                # zero overflow (`models/sdf_voxel.py:_compact_valid`).
+                log.warning(
+                    f"[{stage}] capacity overflow on "
+                    f"{100 * means['overflow_frac']:.2f}% of rays "
+                    f"(sample_k={cfg_m.sample_k}, shade_k={cfg_m.shade_k}, "
+                    f"s_max={cfg_m.s_max}): samples are being dropped and "
+                    f"accuracy degrades — raise sample_k/shade_k (or set "
+                    f"them to -1 for exact auto-capacity)"
+                )
 
         # periodic visual validation (`model/nerf_training.py:482-503`):
         # one random test view rendered with full PSNR/SSIM logging.
@@ -525,5 +542,5 @@ def train_stage(
 
     return StageResult(
         params=params, cfg_model=cfg_m, box=box, ckpt_path=ckpt_path,
-        psnr_history=psnr_hist,
+        psnr_history=psnr_hist, last_metrics=last_metrics,
     )

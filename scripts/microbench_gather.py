@@ -69,12 +69,12 @@ def bench(name, body, *args):
 
 
 def main():
-    sections = set(sys.argv[1]) if len(sys.argv) > 1 else set("ABCDE")
-    unknown = sections - set("ABCDE")
+    sections = set(sys.argv[1]) if len(sys.argv) > 1 else set("ABCDEF")
+    unknown = sections - set("ABCDEF")
     if unknown:
         raise SystemExit(
             f"unknown section(s) {sorted(unknown)}; usage: "
-            f"{sys.argv[0]} [sections from 'ABCDE', e.g. 'AD']"
+            f"{sys.argv[0]} [sections from 'ABCDEF', e.g. 'AD']"
         )
     rng = np.random.default_rng(0)
     a = jnp.asarray(rng.normal(size=(4096, 4096)).astype(np.float32))
@@ -214,6 +214,81 @@ def main():
         bench("E. scatter-rows Mx8 f32",
               lambda i, v, p: jnp.zeros((M, 8), jnp.float32).at[(p + i) % M].set(v),
               vals, perm)
+
+
+    # F. permutation-crossing candidates for the sorted-window redesign:
+    # (1) pair sort baseline; (2) lax.sort carrying a payload of
+    # width P (the "un-permute via key sort" trick — cost should scale
+    # with payload bytes, unlike the 11.5 ns/row take floor);
+    # (3) split takes (2x8ch vs 1x16ch — section D showed 8ch f32 is
+    # the only cheap narrow width); (4) small-table takes (per-ray
+    # lookups: viewdirs/ray A|B tables).
+    if "F" in sections:
+        keys0f = jnp.asarray(rng.integers(0, 1_500_000, size=(M,)).astype(np.int32))
+        iota = jnp.arange(M, dtype=jnp.int32)
+
+        def pair_sort(i, keys):
+            return jax.lax.sort((keys + i, iota), dimension=0, num_keys=1)
+
+        bench("F. pair sort (key,i32)", pair_sort, keys0f)
+
+        for p in (2, 4, 8, 16):
+            pay = tuple(
+                jnp.asarray(rng.normal(size=(M,)).astype(np.float32))
+                for _ in range(p)
+            )
+
+            def pay_sort(i, keys, *pay):
+                return jax.lax.sort((keys + i,) + pay, dimension=0, num_keys=1)
+
+            bench(f"F. sort + {p}xf32 payload", pay_sort, keys0f, *pay)
+
+        pay16b = tuple(
+            jnp.asarray(rng.normal(size=(M,)).astype(np.float32)).astype(jnp.bfloat16)
+            for _ in range(16)
+        )
+
+        def pay_sort_b(i, keys, *pay):
+            return jax.lax.sort((keys + i,) + pay, dimension=0, num_keys=1)
+
+        bench("F. sort + 16xbf16 payload", pay_sort_b, keys0f, *pay16b)
+
+        # payload packed as wide rows instead of separate operands
+        pack16 = jnp.asarray(rng.normal(size=(M, 16)).astype(np.float32))
+
+        def pay_sort_packed(i, keys, pk):
+            ops = (keys + i,) + tuple(pk[:, j] for j in range(16))
+            return jax.lax.sort(ops, dimension=0, num_keys=1)
+
+        bench("F. sort + packed16 cols", pay_sort_packed, keys0f, pack16)
+
+        rows_flat = jnp.asarray(rng.integers(0, M, size=(M,)).astype(np.int32))
+        src16 = jnp.asarray(rng.normal(size=(M, 16)).astype(np.float32))
+        bench(
+            "F. take 16ch as 2x8ch",
+            lambda i, s, r: jnp.concatenate(
+                [jnp.take(s[:, :8], (r + i) % M, axis=0),
+                 jnp.take(s[:, 8:], (r + i) % M, axis=0)], axis=-1
+            ),
+            src16, rows_flat,
+        )
+        small = jnp.asarray(rng.normal(size=(8192, 8)).astype(np.float32))
+        rray = jnp.asarray(rng.integers(0, 8192, size=(M,)).astype(np.int32))
+        bench("F. small-table take 8192x8",
+              lambda i, s, r: jnp.take(s, (r + i) % 8192, axis=0), small, rray)
+
+        def onehot_raytab(i, s, r):
+            r = (r + i) % 8192
+            rb = r.reshape(-1, 2048)
+            iota_t = jax.lax.broadcasted_iota(jnp.int32, (1, 2048, 8192), 2)
+            oh = (rb[..., None] == iota_t).astype(jnp.bfloat16)
+            return jax.lax.dot_general(
+                oh, jnp.broadcast_to(s.astype(jnp.bfloat16), (rb.shape[0], 8192, 8)),
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+
+        bench("F. raytab one-hot mm", onehot_raytab, small, rray)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,91 @@
+"""Capacity-overflow safety (`models/sdf_voxel.py:_compact_valid`,
+`train/trainer.py` i_print warning): an undersized ``shade_k`` /
+``sample_k`` is detected, surfaced in metrics, and loudly logged; the
+``-1`` auto capacity derives an exact bound from grid geometry."""
+import logging
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fgs_nerf_tpu.core.box import SceneBox
+from fgs_nerf_tpu.models import sdf_voxel as M
+
+
+def make(shade_k, sample_k):
+    xyz_min = np.array([-1.0, -1.0, -1.0], np.float32)
+    xyz_max = np.array([1.0, 1.0, 1.0], np.float32)
+    cfg = M.make_model_config(
+        stage="coarse", xyz_min=xyz_min, xyz_max=xyz_max,
+        num_voxels=16**3, num_voxels_base=16**3, stepsize=0.5, k0_dim=4,
+        refnet_width=16, refnet_depth=3, posbase_pe=2, viewbase_pe=1,
+        refbase_pe=2, s_ratio=50.0, s_start=0.2, fast_color_thres=0.0,
+        shade_k=shade_k, sample_k=sample_k,
+    )
+    return cfg, SceneBox.create(xyz_min, xyz_max)
+
+
+def run_forward(cfg, box, n=16):
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(5)
+    rays_o = np.full((n, 3), [0, 0, 3.0], np.float32)
+    look = rng.normal(size=(n, 3)).astype(np.float32) * 0.1
+    rays_d = look - rays_o
+    viewdirs = rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True)
+    return M.forward(
+        params, {}, cfg, box, jnp.asarray(rays_o), jnp.asarray(rays_d),
+        jnp.asarray(viewdirs), jnp.asarray(0.2), near=0.2, bg=1.0,
+    )
+
+
+def test_auto_capacity_resolves_to_s_max():
+    cfg, _ = make(shade_k=-1, sample_k=-1)
+    assert cfg.shade_k == cfg.s_max
+    assert cfg.sample_k == cfg.s_max
+
+
+def test_auto_capacity_never_overflows():
+    cfg, box = make(shade_k=-1, sample_k=-1)
+    render = run_forward(cfg, box)
+    assert float(jnp.sum(render["overflow"])) == 0.0
+
+
+def test_undersized_shade_k_reports_overflow():
+    # fast_color_thres=0 keeps every in-bbox sample live; rays through
+    # the box center have ~s_max live samples >> shade_k=4.
+    cfg, box = make(shade_k=4, sample_k=0)
+    render = run_forward(cfg, box)
+    assert float(jnp.mean(render["overflow"].astype(jnp.float32))) > 0.5
+
+
+def test_undersized_sample_k_reports_overflow():
+    cfg, box = make(shade_k=0, sample_k=4)
+    render = run_forward(cfg, box)
+    assert float(jnp.mean(render["overflow"].astype(jnp.float32))) > 0.5
+
+
+def test_trainer_warns_on_overflow(tmp_path, caplog):
+    from fgs_nerf_tpu.config.base import Cfg, deep_update, load_config
+    from fgs_nerf_tpu.data.synthetic import make_synthetic_dataset
+    from fgs_nerf_tpu.train.trainer import train_stage
+
+    tiny = dict(
+        geometry_searching=dict(
+            N_iters=3, N_rand=64, pg_scale=[], inc_steps=0,
+            save_iter=10**9, decay_step_module={},
+        ),
+        geometry_searching_model=dict(
+            num_voxels=16**3, num_voxels_base=16**3, shade_k=2,
+            fast_color_thres=0.0,
+        ),
+    )
+    cfg = Cfg(deep_update(dict(load_config("shiny_blender")), tiny))
+    data = make_synthetic_dataset(n_views=3, h=16, w=16, n_test=1)
+    with caplog.at_level(logging.WARNING):
+        train_stage(
+            cfg, "geometry_searching", data,
+            np.array([-1.0, -1.0, -1.0], np.float32),
+            np.array([1.0, 1.0, 1.0], np.float32),
+            str(tmp_path), i_print=3,
+        )
+    assert any("capacity overflow" in r.message for r in caplog.records)
