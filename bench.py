@@ -11,6 +11,7 @@ reference's ragged CUDA pipeline at roughly REF_RAYS_PER_S rays/s
 (a 15k-iteration coarse stage in ~25 min).  The driver records the JSON
 line on real TPU hardware.
 """
+import dataclasses
 import json
 import os
 import sys
@@ -106,6 +107,59 @@ def main():
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / REF_RAYS_PER_S, 3),
     }))
+
+    # Checkpoint-workload variant (stderr, so the driver still sees ONE
+    # stdout JSON line): when a trained coarse checkpoint exists, rerun
+    # the same timing with its mask cache installed — the live-sample
+    # distribution of a real trained scene rather than the synthetic
+    # everything-live worst case.  Generate one with
+    # ``python run.py --mode train --config quick_synthetic`` or any
+    # real scene; point FGS_BENCH_CKPT at the geometry/coarse .npz.
+    import glob as _glob
+
+    ckpt_path = os.environ.get("FGS_BENCH_CKPT")
+    if not ckpt_path:
+        cands = sorted(
+            _glob.glob(os.path.join("results", "*", "*geometry_searching_last.npz"))
+            + _glob.glob(os.path.join("results", "*", "*coarse_last.npz"))
+        )
+        ckpt_path = cands[0] if cands else None
+    if ckpt_path and os.path.exists(ckpt_path):
+        from fgs_nerf_tpu.train.checkpoint import load_checkpoint
+
+        ck = load_checkpoint(ckpt_path)
+        buffers = {
+            "mask_cache": M.build_mask_cache(
+                jnp.asarray(ck.sdf_mask), *ck.box
+            )
+        }
+        cfg_ck = dataclasses.replace(cfg, stage="coarse")
+        step_ck = make_train_step(
+            cfg_ck, box, loss_w, opts, near=0.2, bg=1.0, n_rand=N_RAND,
+            sdf_tv=0.1, smooth_grad_tv=0.05, inject_tv=False, tv_dense=True,
+            weight_tv_density=0.01, weight_tv_k0=0.0, use_nonempty_mask=False,
+        )
+        params_ck = M.init_params(jax.random.PRNGKey(0), cfg_ck)
+        opt_ck = init_state(params_ck)
+        for _ in range(N_WARMUP):
+            params_ck, opt_ck, m_ck = step_ck(
+                params_ck, opt_ck, buffers, *batch, s_val, lrs, tv_on
+            )
+        jax.block_until_ready(m_ck["loss"])
+        t0 = time.perf_counter()
+        for _ in range(N_ITERS):
+            params_ck, opt_ck, m_ck = step_ck(
+                params_ck, opt_ck, buffers, *batch, s_val, lrs, tv_on
+            )
+        jax.block_until_ready(m_ck["loss"])
+        dt_ck = (time.perf_counter() - t0) / N_ITERS
+        print(json.dumps({
+            "metric": "train_rays_per_s_ckpt_workload",
+            "value": round(N_RAND / dt_ck, 1),
+            "unit": "rays/s",
+            "ckpt": ckpt_path,
+            "vs_baseline": round(N_RAND / dt_ck / REF_RAYS_PER_S, 3),
+        }), file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -172,6 +172,12 @@ def make_model_config(
         shade_k = s_max
     if kwargs.get("sample_k") == -1:
         kwargs["sample_k"] = s_max
+    # Capacities above the lattice depth are meaningless (and top_k
+    # rejects k > axis size); clamp — the forward already treats
+    # k >= s_max as "no compaction".
+    shade_k = min(shade_k, s_max)
+    if kwargs.get("sample_k", 0) > s_max:
+        kwargs["sample_k"] = s_max
     return SDFModelConfig(
         stage=stage,
         num_voxels=num_voxels,
@@ -605,7 +611,12 @@ def forward_coarse(
         overflow = jnp.zeros((n,), bool)
 
     viewdirs_pts = jnp.broadcast_to(viewdirs[:, None, :], s_pts.shape)
-    rgb = _shade_coarse(params, cfg, box, s_pts, viewdirs_pts, s_normal, viewdirs, s_k0)
+    # remat: recomputing the encodings + MLP in the backward (~1 ms of
+    # MXU) beats storing ~2 GB of [N, K, ~100ch] features/activations
+    shade = jax.checkpoint(
+        lambda p, a, b_, c_, d_, e_: _shade_coarse(p, cfg, box, a, b_, c_, d_, e_)
+    )
+    rgb = shade(params, s_pts, viewdirs_pts, s_normal, viewdirs, s_k0)
     sigmoid_rgb_pt = jax.nn.sigmoid(rgb)  # the double sigmoid (`model/nerf.py:1009-1010`)
 
     w_full = weights * live
@@ -736,9 +747,25 @@ def forward_fine(
         sel_live = live
         overflow = jnp.zeros((n,), bool)
 
-    rgb = _shade_fine(
-        params, cfg, box, sdf_grid, s_pts, s_sdf, s_gradient, s_normal, viewdirs,
-        s_k0,
+    # hierarchical taps sampled OUTSIDE the remat boundary (a re-gather
+    # in the backward would double the dominant row cost)
+    tap_feats = []
+    if cfg.all_displace:
+        all_feat, all_grad = sample_sdf_taps(
+            sdf_grid, s_pts, box, cfg.all_displace, cfg.voxel_size,
+            cfg.use_grad_norm,
+        )
+        d = len(cfg.all_displace)
+        tap_feats = [
+            all_feat.reshape(*s_pts.shape[:2], 6 * d),
+            all_grad.reshape(*s_pts.shape[:2], 3 * d),
+        ]
+    # remat: see the coarse forward's rationale
+    shade = jax.checkpoint(
+        lambda p, tf, *a: _shade_fine(p, cfg, box, tf, *a)
+    )
+    rgb = shade(
+        params, tap_feats, s_pts, s_sdf, s_gradient, s_normal, viewdirs, s_k0
     )
     sigmoid_rgb_pt = jax.nn.sigmoid(rgb)
 
@@ -775,28 +802,22 @@ def forward_fine(
     }
 
 
-def _shade_fine(params, cfg: SDFModelConfig, box, sdf_grid, pts, sdf, gradient,
+def _shade_fine(params, cfg: SDFModelConfig, box, tap_feats, pts, sdf, gradient,
                 normal, viewdirs, k0):
     """Fine shading (`model/nerf.py:835-884`): rgbnet on hierarchical
-    SDF features, then refnet on [rgb_feat, reflect_emb].  k0 arrives
-    pre-sampled from the fused field gather."""
+    SDF features, then refnet on [rgb_feat, reflect_emb].  k0 and the
+    hierarchical tap features arrive pre-sampled (the tap GATHER stays
+    outside the remat boundary — only encodings/MLPs recompute)."""
     rays_xyz = box.normalize(pts)
     xyz_emb = sincos_encode(rays_xyz, freq_bank(cfg.posbase_pe))
 
-    displace = cfg.all_displace
     feats = [k0, xyz_emb]
     if cfg.use_viewdir:
         vd_emb = sincos_encode(viewdirs, freq_bank(cfg.viewbase_pe))
         feats.append(jnp.broadcast_to(vd_emb[:, None, :], (*pts.shape[:2], vd_emb.shape[-1])))
     if cfg.center_sdf:
         feats.append(sdf[..., None])
-    if displace:
-        all_feat, all_grad = sample_sdf_taps(
-            sdf_grid, pts, box, displace, cfg.voxel_size, cfg.use_grad_norm
-        )
-        d = len(displace)
-        feats.append(all_feat.reshape(*pts.shape[:2], 6 * d))
-        feats.append(all_grad.reshape(*pts.shape[:2], 3 * d))
+    feats.extend(tap_feats)
     # The reference appends the xyz-order center gradient last
     # (`model/nerf.py:865-876`, asserts k_grad_feat == (1.0,)).
     feats.append(gradient)

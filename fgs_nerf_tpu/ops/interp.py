@@ -28,6 +28,45 @@ import numpy as np
 from fgs_nerf_tpu.core.box import SceneBox
 
 
+def _use_pallas_pack() -> bool:
+    """bf16 im2col-conv pack builder on real TPU backends only; CPU
+    tests and the virtual mesh keep the exact fp32 slice-concat build."""
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _build_pack_conv(grid: jnp.ndarray) -> jnp.ndarray:
+    """Cell-pack table via ONE identity conv (the im2col trick).
+
+    The pack row of padded base (bx, by, bz) holds the 8 corner values,
+    corner k = dx*4 + dy*2 + dz at channels [k*C, (k+1)*C) — exactly a
+    [2, 2, 2] 'VALID' convolution of the 1-padded grid with one-hot
+    filters w[dx, dy, dz, ch, k*C + ch] = 1.  On TPU the conv maps onto
+    the MXU (<1 ms at the coarse bench size) while the equivalent
+    pad + 8 shifted slices + concat + reshape costs ~10-14 ms/step in
+    HBM copies.  bf16 in/out is EXACT bf16(grid): every output taps a
+    single 1.0 weight, so no accumulation rounding occurs.
+    """
+    x, y, z, c = grid.shape
+    w = np.zeros((2, 2, 2, c, 8 * c), np.float32)
+    for k, (dx, dy, dz) in enumerate(
+        itertools.product((0, 1), (0, 1), (0, 1))
+    ):
+        w[dx, dy, dz, np.arange(c), k * c + np.arange(c)] = 1.0
+    gp = jnp.pad(grid, ((1, 1), (1, 1), (1, 1), (0, 0))).astype(jnp.bfloat16)
+    out = jax.lax.conv_general_dilated(
+        gp[None],
+        jnp.asarray(w, jnp.bfloat16),
+        window_strides=(1, 1, 1),
+        padding="VALID",
+        dimension_numbers=("NXYZC", "XYZIO", "NXYZC"),
+        preferred_element_type=jnp.bfloat16,
+    )[0]  # [X+1, Y+1, Z+1, 8C]
+    return out.reshape(-1, 8 * c)
+
+
 def _corner_gather(flat_grid, ci, sizes):
     """Gather [..., C] values at integer coords ``ci`` [..., 3], zero outside."""
     inb = jnp.all((ci >= 0) & (ci < sizes), axis=-1)
@@ -114,12 +153,16 @@ def _cellpack_gather_impl(grid: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     zeros (the reference's zero-padding semantics).
     """
     x, y, z, c = grid.shape
-    gp = jnp.pad(grid, ((1, 1), (1, 1), (1, 1), (0, 0)))
-    parts = [
-        jax.lax.slice(gp, (dx, dy, dz, 0), (dx + x + 1, dy + y + 1, dz + z + 1, c))
-        for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)
-    ]
-    pack = jnp.concatenate(parts, axis=-1).reshape(-1, 8 * c)
+    if _use_pallas_pack():
+        pack = _build_pack_conv(grid)  # [(X+1)(Y+1)(Z+1), 8C] bf16
+    else:
+        gp = jnp.pad(grid, ((1, 1), (1, 1), (1, 1), (0, 0)))
+        parts = [
+            jax.lax.slice(gp, (dx, dy, dz, 0), (dx + x + 1, dy + y + 1, dz + z + 1, c))
+            for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)
+        ]
+        pack = jnp.concatenate(parts, axis=-1).reshape(-1, 8 * c)
+    c_eff = c
 
     sizes = jnp.asarray((x, y, z), jnp.int32)
     i0 = jnp.floor(idx).astype(jnp.int32)
@@ -127,7 +170,7 @@ def _cellpack_gather_impl(grid: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     base_ok = jnp.all((i0 >= -1) & (i0 < sizes), axis=-1).reshape(-1)
     b = jnp.clip(i0, -1, sizes - 1) + 1  # padded coords in [0, size]
     rows = ((b[..., 0] * (y + 1) + b[..., 1]) * (z + 1) + b[..., 2]).reshape(-1)
-    v = jnp.take(pack, rows, axis=0)  # [M, 8C]
+    v = jnp.take(pack, rows, axis=0)  # [M, 8*c_eff]
 
     wx = jnp.stack([1.0 - f[:, 0], f[:, 0]], axis=-1)
     wy = jnp.stack([1.0 - f[:, 1], f[:, 1]], axis=-1)
@@ -137,7 +180,15 @@ def _cellpack_gather_impl(grid: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
         wx[:, :, None, None] * wy[:, None, :, None] * wz[:, None, None, :]
     ).reshape(-1, 8)
     w = w * base_ok[:, None].astype(w.dtype)
-    out = jnp.sum(v.reshape(-1, 8, c) * w[..., None], axis=1)
+    # Explicit per-corner slice-FMAs: the tempting
+    # ``sum(v.reshape(M, 8, C) * w[..., None], axis=1)`` makes XLA
+    # materialize a channel-major [C, M] intermediate through a serial
+    # relayout while-loop (~12 ms/step at the bench workload); 8 planar
+    # multiply-adds fuse into one elementwise pass.
+    out = None
+    for k in range(8):
+        term = v[:, k * c_eff : k * c_eff + c].astype(jnp.float32) * w[:, k : k + 1]
+        out = term if out is None else out + term
     return out.reshape(*idx.shape[:-1], c)
 
 

@@ -90,6 +90,11 @@ def corner_scatter_grid_grad(
     # permutation gather of the finished updates beats permuting the
     # narrow [i0|fracs|g] pack and building updates afterwards.
     corners = [(dx, dy, dz) for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)]
+    # The Pallas accumulate kernel consumes bf16 updates (fp32 window
+    # accumulation) — casting BEFORE the build and the permutation
+    # gather halves their HBM traffic at identical accumulated values.
+    # The CPU fallback keeps fp32 end to end.
+    upd_dtype = jnp.bfloat16 if _use_pallas_combine() else jnp.float32
     upd_groups = []
     for dx, dy, dz in corners:
         ci = i0 + jnp.asarray((dx, dy, dz), jnp.int32)
@@ -99,7 +104,9 @@ def corner_scatter_grid_grad(
             * (fracs[:, 1] if dy else 1.0 - fracs[:, 1])
             * (fracs[:, 2] if dz else 1.0 - fracs[:, 2])
         )
-        upd_groups.append((w * inb.astype(w.dtype))[:, None] * g)
+        upd_groups.append(
+            ((w * inb.astype(w.dtype))[:, None] * g).astype(upd_dtype)
+        )
     upd_unsorted = jnp.concatenate(upd_groups, axis=-1)  # [M, 8C]
 
     # One 2-operand sort yields both the sorted keys and the
