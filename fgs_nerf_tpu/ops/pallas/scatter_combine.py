@@ -69,17 +69,25 @@ def _dense_kernel(rows_ref, upd_ref, out_ref, acc, a0_ref, sem):
         f, a0 = carry
         unserved = idx2 >= f
         w = jnp.min(jnp.where(unserved, rows2, 2**30))
-        # slide the accumulator until [w, w + B) fits at offset <= B
-        a0 = jax.lax.while_loop(lambda a: w - a > block, flush, a0)
-        serve = unserved & (rows2 < w + block)
-        local = jnp.where(serve, rows2 - w, -1)  # [sub, 128] in [0, B)
+        # Quantize the serve base to a sublane multiple so the dynamic
+        # accumulator offset below is provably 8-aligned (Mosaic rejects
+        # unaligned dynamic vector loads for block sizes where the
+        # [B, C] access lowers to a single vector op).  Serving from w8
+        # instead of w only shrinks the covered range by w - w8 < 8
+        # rows, all of which are already-served (< w) and thus excluded
+        # by ``unserved`` anyway.
+        w8 = (w // 8) * 8
+        # slide the accumulator until [w8, w8 + B) fits at offset <= B
+        a0 = jax.lax.while_loop(lambda a: w8 - a > block, flush, a0)
+        serve = unserved & (rows2 < w8 + block)
+        local = jnp.where(serve, rows2 - w8, -1)  # [sub, 128] in [0, B)
         iota_w = jax.lax.broadcasted_iota(jnp.int32, (block, sub, 128), 0)
         onehot = (iota_w == local[None]).astype(jnp.bfloat16).reshape(block, block)
         contrib = jax.lax.dot_general(
             onehot, upd_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [B, C]
-        off = w - a0  # in [0, B]
+        off = pl.multiple_of(w8 - a0, 8)  # in [0, B]
         acc[pl.ds(off, block), :] += contrib
         # rows are sorted, so the served set is the contiguous run at f
         return f + jnp.sum(serve.astype(jnp.int32)), a0

@@ -29,7 +29,10 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-BLOCK = 2048  # samples per kernel block (best of 1024/2048/4096 sweep)
+BLOCK = 512  # samples per kernel block (best of 256/512/1024/2048 sweep,
+# round 3: 13.4 ms vs 16.5 ms at 2048 for the coarse bench backward —
+# smaller blocks shrink the [B, B] one-hot's VMEM traffic faster than
+# the per-block control overhead grows)
 
 
 @functools.lru_cache(maxsize=1)
