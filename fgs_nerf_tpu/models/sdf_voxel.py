@@ -99,6 +99,12 @@ class SDFModelConfig:
     shade_k: int = 0  # 0 = dense shading; >0 = top-K compacted shading
     sample_k: int = 0  # 0 = full lattice; >0 = compact valid samples to k slots
     mlp_bf16: bool = True  # bf16 MXU matmuls (fp32 accum + master weights)
+    # 'lattice': classic ray-major pipeline (gather crossings at the XLA
+    # row-take floor).  'sorted': row-sorted stream engine
+    # (ops/sorted_stream.py) — geometry/coarse training fast path; the
+    # per-sample pipeline runs in grid-row order and only scalar
+    # channels cross back for the transmittance scan.
+    engine: str = "lattice"
 
     @property
     def is_fine(self) -> bool:
@@ -532,6 +538,10 @@ def forward(
 ) -> Dict[str, jnp.ndarray]:
     if cfg.is_fine:
         return forward_fine(params, buffers, cfg, box, rays_o, rays_d, viewdirs, s_val, near, bg)
+    if cfg.engine == "sorted":
+        return forward_coarse_sorted(
+            params, buffers, cfg, box, rays_o, rays_d, viewdirs, s_val, near, bg
+        )
     return forward_coarse(params, buffers, cfg, box, rays_o, rays_d, viewdirs, s_val, near, bg)
 
 
@@ -844,3 +854,165 @@ def _shade_fine(params, cfg: SDFModelConfig, box, tap_feats, pts, sdf, gradient,
     return jax.nn.sigmoid(
         mlp_apply(params["refnet"], ref_feat, bf16=cfg.mlp_bf16).astype(jnp.float32)
     )
+
+
+# ---------------------------------------------------------------------------
+# Sorted-stream coarse engine (ops/sorted_stream.py)
+# ---------------------------------------------------------------------------
+
+
+def _shade_coarse_flat(params, cfg: SDFModelConfig, rays_xyz, viewdirs_pts,
+                       normal, k0):
+    """``_shade_coarse`` over a flat [M, ...] sample stream with
+    precomputed normalized coordinates and per-sample view directions
+    (identical values: the lattice path's vd_emb broadcast equals the
+    per-sample encoding of the broadcast directions)."""
+    xyz_emb = sincos_encode(rays_xyz, freq_bank(cfg.posbase_pe))
+    refl = reflect(viewdirs_pts, normal)
+    reflect_emb = sincos_encode(refl, freq_bank(cfg.refbase_pe))
+    feats = [k0, xyz_emb, reflect_emb, normal]
+    if cfg.use_viewdir:
+        feats.append(sincos_encode(viewdirs_pts, freq_bank(cfg.viewbase_pe)))
+    if cfg.mlp_bf16:
+        feats = [f.astype(jnp.bfloat16) for f in feats]
+    ref_feat = jnp.concatenate(feats, axis=-1)
+    return jax.nn.sigmoid(
+        mlp_apply(params["refnet"], ref_feat, bf16=cfg.mlp_bf16).astype(jnp.float32)
+    )
+
+
+def forward_coarse_sorted(
+    params, buffers, cfg: SDFModelConfig, box: SceneBox,
+    rays_o, rays_d, viewdirs, s_val, near, bg,
+) -> Dict[str, jnp.ndarray]:
+    """Geometry-searching / coarse render on the row-sorted stream.
+
+    Semantics match ``forward_coarse`` with dense (``shade_k == 0``)
+    shading; see ``ops/sorted_stream.py`` for the reorganization
+    rationale.  ``normal_marched`` is not produced (training losses
+    consume the per-sample ``ndv`` instead); use the lattice engine for
+    eval-time rendering artifacts.
+    """
+    from fgs_nerf_tpu.ops.sdf2alpha import neus_alpha_from_cos
+    from fgs_nerf_tpu.ops.sorted_stream import (
+        corner_weights, pack_gather_sorted, pack_rows_fracs, padded_rows,
+        rows_to_coords, unsort_to_raymajor,
+    )
+
+    n = rays_o.shape[0]
+    rs = sample_along_rays(rays_o, rays_d, box, near, cfg.step_dist, cfg.s_max)
+    pts, valid = rs.pts, rs.valid
+
+    if cfg.stage == "coarse" and "mask_cache" in buffers:
+        valid = valid & mask_cache_query(buffers["mask_cache"], pts, cfg.mask_cache_thres)
+    if "inc_lower" in buffers:
+        valid = valid & inc_mask_query(
+            buffers["inc_lower"], buffers["inc_upper"], pts, box, cfg.world_size
+        )
+
+    if 0 < cfg.sample_k < cfg.s_max:
+        valid, steps, sample_overflow = _compact_valid(valid, cfg.sample_k)
+        pts = _pts_at_steps(rays_o, rays_d, rs.t_min, steps, cfg.step_dist)
+    else:
+        steps = jnp.broadcast_to(
+            jnp.arange(cfg.s_max, dtype=jnp.float32), valid.shape
+        )
+        sample_overflow = jnp.zeros((n,), bool)
+    s = valid.shape[-1]
+    m = n * s
+
+    sdf_grid = params["sdf"]
+    if cfg.smooth_sdf:
+        sdf_grid = smooth_grid(sdf_grid, cfg.smooth_ksize, cfg.smooth_sigma)
+    grad_field = sdf_gradient(params["sdf"], cfg.voxel_size, cfg.grad_mode)
+    field = jnp.concatenate([sdf_grid, grad_field, params["k0"]], axis=-1)
+
+    sizes_f = jnp.asarray(cfg.world_size, jnp.float32)
+    idx = box.normalize(pts) * (sizes_f - 1.0)
+    rows, fracs, ok = pack_rows_fracs(idx, cfg.world_size)
+    r_sent = padded_rows(cfg.world_size)
+    keys = jnp.where(valid & ok, rows, r_sent).reshape(m).astype(jnp.int32)
+
+    iota = jnp.arange(m, dtype=jnp.int32)
+    vd = jnp.broadcast_to(viewdirs[:, None, :], (n, s, 3)).reshape(m, 3)
+    fr = fracs.reshape(m, 3)
+    keys_s, iota_s, fx, fy, fz, vx, vy, vz = jax.lax.stop_gradient(
+        jax.lax.sort(
+            (keys, iota, fr[:, 0], fr[:, 1], fr[:, 2],
+             vd[:, 0], vd[:, 1], vd[:, 2]),
+            dimension=0, num_keys=1,
+        )
+    )
+    fr_s = jnp.stack([fx, fy, fz], axis=-1)
+    vd_s = jnp.stack([vx, vy, vz], axis=-1)
+    w8_s = corner_weights(fr_s)
+
+    samp = pack_gather_sorted(field, keys_s, w8_s)  # [M, 4 + k0_dim]
+    sdf_s = samp[:, 0]
+    grad_s = samp[:, 1:4]
+    k0_s = samp[:, 4:]
+
+    dist = jnp.asarray(cfg.step_dist, jnp.float32)
+    true_cos = jnp.sum(vd_s * grad_s, axis=-1)
+    alpha_s = neus_alpha_from_cos(true_cos, sdf_s, dist, s_val)
+    normal_s = l2_normalize(grad_s / (_safe_norm(grad_s) + 1e-7))
+    ndv_s = jnp.sum(normal_s * (-vd_s), axis=-1)
+
+    bcoord = rows_to_coords(
+        jnp.minimum(keys_s, r_sent - 1), cfg.world_size
+    ).astype(jnp.float32)
+    rays_xyz_s = (bcoord - 1.0 + fr_s) / (sizes_f - 1.0)
+
+    shade = jax.checkpoint(
+        lambda p, a, b_, c_, d_: _shade_coarse_flat(p, cfg, a, b_, c_, d_)
+    )
+    rgb_s = shade(params, rays_xyz_s, vd_s, normal_s, k0_s)  # [M, 3]
+
+    crossed = unsort_to_raymajor(
+        iota_s, keys,
+        jnp.stack([alpha_s, rgb_s[:, 0], rgb_s[:, 1], rgb_s[:, 2], ndv_s],
+                  axis=-1),
+    )
+    alpha = crossed[:, 0].reshape(n, s)
+    rgb = crossed[:, 1:4].reshape(n, s, 3)
+    ndv = crossed[:, 4].reshape(n, s)
+
+    # ray-major tail — identical to forward_coarse's double scan
+    w1, _ = alpha_to_weights(alpha, valid)
+    if cfg.fast_color_thres > 0:
+        live = valid & (w1 > cfg.fast_color_thres)
+    else:
+        live = valid
+    weights, alphainv_last = alpha_to_weights(alpha, live)
+
+    sigmoid_rgb_pt = jax.nn.sigmoid(rgb)
+    w_full = weights * live
+    cum_weights = jnp.sum(w_full, axis=-1, keepdims=True)
+    rgb_marched = jnp.clip(
+        jnp.sum(w_full[..., None] * rgb, axis=1) + (1.0 - cum_weights) * bg,
+        0.0, 1.0,
+    )
+    sigmoid_rgb = jnp.clip(
+        jnp.sum(w_full[..., None] * sigmoid_rgb_pt, axis=1)
+        + (1.0 - cum_weights) * bg,
+        0.0, 1.0,
+    )
+    depth = jax.lax.stop_gradient(jnp.sum(w_full * steps * dist, axis=-1))
+
+    return {
+        "rgb_marched": rgb_marched,
+        "sigmoid_rgb": sigmoid_rgb,
+        "alphainv_cum": alphainv_last,
+        "cum_weights": cum_weights,
+        "depth": depth,
+        "disp": 1.0 / jnp.maximum(depth, 1e-10),
+        "weights": w_full,
+        "ndv": ndv,
+        "live": live,
+        "valid": valid,
+        "sel_weights": w_full,
+        "sel_rgb": rgb,
+        "sel_live": live,
+        "overflow": sample_overflow,
+        "s_val": s_val,
+    }

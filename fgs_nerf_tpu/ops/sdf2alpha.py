@@ -37,8 +37,14 @@ def neus_alpha(
     0, 1)`` with p = prev_cdf - next_cdf, c = prev_cdf
     (`model/nerf.py:539-543`).
     """
-    inv_s = 1.0 / s_val
     true_cos = jnp.sum(viewdirs[:, None, :] * gradients, axis=-1)  # [N, S]
+    return neus_alpha_from_cos(true_cos, sdf, dist, s_val)
+
+
+def neus_alpha_from_cos(true_cos, sdf, dist, s_val):
+    """Elementwise core of ``neus_alpha`` — shape-agnostic, shared by
+    the [N, S] lattice path and the flat sorted-stream path."""
+    inv_s = 1.0 / s_val
     iter_cos = -jnp.maximum(-true_cos, 0.0)  # always <= 0
     est_next = sdf + iter_cos * dist * 0.5
     est_prev = sdf - iter_cos * dist * 0.5

@@ -77,8 +77,13 @@ def compute_losses(
     if w.weight_orientation > 0:
         # ref-NeRF orientation regularizer (`model/nerf.py:469-478`):
         # sum over points of w * min(0, n . -v)^2 (torch .mean of the
-        # already-reduced scalar is the identity).
-        ndv = jnp.sum(render["normal"] * (-viewdirs[:, None, :]), axis=-1)
+        # already-reduced scalar is the identity).  The sorted engine
+        # precomputes n.(-v) per sample (it never materializes normals
+        # in ray-major order).
+        if "ndv" in render:
+            ndv = render["ndv"]
+        else:
+            ndv = jnp.sum(render["normal"] * (-viewdirs[:, None, :]), axis=-1)
         ori = jnp.sum(
             jax.lax.stop_gradient(render["weights"]) * jnp.minimum(0.0, ndv) ** 2
         )
