@@ -119,47 +119,74 @@ def main():
 
     ckpt_path = os.environ.get("FGS_BENCH_CKPT")
     if not ckpt_path:
+        # most recent first — a stale or different-scene checkpoint's
+        # mask cache would skew the ckpt-workload metric
         cands = sorted(
             _glob.glob(os.path.join("results", "*", "*geometry_searching_last.npz"))
-            + _glob.glob(os.path.join("results", "*", "*coarse_last.npz"))
+            + _glob.glob(os.path.join("results", "*", "*coarse_last.npz")),
+            key=os.path.getmtime, reverse=True,
         )
         ckpt_path = cands[0] if cands else None
-    if ckpt_path and os.path.exists(ckpt_path):
-        from fgs_nerf_tpu.train.checkpoint import load_checkpoint
+    try:
+        _ckpt_workload_variant(ckpt_path, locals())
+    except Exception as e:  # noqa: BLE001 — the stderr extra must never
+        # break the primary stdout JSON line's exit status
+        print(f"ckpt-workload variant skipped: {e!r}", file=sys.stderr)
 
-        ck = load_checkpoint(ckpt_path)
-        buffers = {
-            "mask_cache": M.build_mask_cache(
-                jnp.asarray(ck.sdf_mask), *ck.box
-            )
-        }
-        cfg_ck = dataclasses.replace(cfg, stage="coarse")
-        step_ck = make_train_step(
-            cfg_ck, box, loss_w, opts, near=0.2, bg=1.0, n_rand=N_RAND,
-            sdf_tv=0.1, smooth_grad_tv=0.05, inject_tv=False, tv_dense=True,
-            weight_tv_density=0.01, weight_tv_k0=0.0, use_nonempty_mask=False,
+
+def _ckpt_workload_variant(ckpt_path, env):
+    """Re-time the step with a trained checkpoint's mask cache (stderr)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from fgs_nerf_tpu.models import sdf_voxel as M
+    from fgs_nerf_tpu.optim.masked_adam import init_state
+    from fgs_nerf_tpu.train.checkpoint import load_checkpoint
+    from fgs_nerf_tpu.train.trainer import make_train_step
+
+    if not (ckpt_path and os.path.exists(ckpt_path)):
+        return
+    ck = load_checkpoint(ckpt_path)
+    if getattr(ck, "sdf_mask", None) is None:
+        print(f"ckpt-workload variant skipped: {ckpt_path} has no sdf_mask",
+              file=sys.stderr)
+        return
+    buffers = {
+        "mask_cache": M.build_mask_cache(jnp.asarray(ck.sdf_mask), *ck.box)
+    }
+    cfg_ck = dataclasses.replace(env["cfg"], stage="coarse")
+    step_ck = make_train_step(
+        cfg_ck, env["box"], env["loss_w"], env["opts"], near=0.2, bg=1.0,
+        n_rand=N_RAND, sdf_tv=0.1, smooth_grad_tv=0.05, inject_tv=False,
+        tv_dense=True, weight_tv_density=0.01, weight_tv_k0=0.0,
+        use_nonempty_mask=False,
+    )
+    batch, s_val, lrs, tv_on = (
+        env["batch"], env["s_val"], env["lrs"], env["tv_on"]
+    )
+    params_ck = M.init_params(jax.random.PRNGKey(0), cfg_ck)
+    opt_ck = init_state(params_ck)
+    for _ in range(N_WARMUP):
+        params_ck, opt_ck, m_ck = step_ck(
+            params_ck, opt_ck, buffers, *batch, s_val, lrs, tv_on
         )
-        params_ck = M.init_params(jax.random.PRNGKey(0), cfg_ck)
-        opt_ck = init_state(params_ck)
-        for _ in range(N_WARMUP):
-            params_ck, opt_ck, m_ck = step_ck(
-                params_ck, opt_ck, buffers, *batch, s_val, lrs, tv_on
-            )
-        jax.block_until_ready(m_ck["loss"])
-        t0 = time.perf_counter()
-        for _ in range(N_ITERS):
-            params_ck, opt_ck, m_ck = step_ck(
-                params_ck, opt_ck, buffers, *batch, s_val, lrs, tv_on
-            )
-        jax.block_until_ready(m_ck["loss"])
-        dt_ck = (time.perf_counter() - t0) / N_ITERS
-        print(json.dumps({
-            "metric": "train_rays_per_s_ckpt_workload",
-            "value": round(N_RAND / dt_ck, 1),
-            "unit": "rays/s",
-            "ckpt": ckpt_path,
-            "vs_baseline": round(N_RAND / dt_ck / REF_RAYS_PER_S, 3),
-        }), file=sys.stderr)
+    jax.block_until_ready(m_ck["loss"])
+    t0 = time.perf_counter()
+    for _ in range(N_ITERS):
+        params_ck, opt_ck, m_ck = step_ck(
+            params_ck, opt_ck, buffers, *batch, s_val, lrs, tv_on
+        )
+    jax.block_until_ready(m_ck["loss"])
+    dt_ck = (time.perf_counter() - t0) / N_ITERS
+    print(json.dumps({
+        "metric": "train_rays_per_s_ckpt_workload",
+        "value": round(N_RAND / dt_ck, 1),
+        "unit": "rays/s",
+        "ckpt": ckpt_path,
+        "vs_baseline": round(N_RAND / dt_ck / REF_RAYS_PER_S, 3),
+    }), file=sys.stderr)
 
 
 if __name__ == "__main__":

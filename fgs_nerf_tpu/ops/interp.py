@@ -195,8 +195,11 @@ def _cellpack_gather_impl(grid: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 @jax.custom_vjp
 def trilinear_sample_index_packed(grid: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """``trilinear_sample_index`` with a cell-packed single-row-gather
-    forward (see ``_cellpack_gather_impl``); identical values and the
-    identical sort-scatter backward.  Prefer it when samples >> voxels
+    forward (see ``_cellpack_gather_impl``) and the identical
+    sort-scatter backward.  Values are exact on CPU backends (fp32
+    slice-concat pack) and bf16-rounded (~2^-8 relative) on TPU, where
+    the pack is built in bf16 for HBM-traffic reasons; the VJP computes
+    the exact fp32 gradient either way.  Prefer it when samples >> voxels
     (render pass 1); the plain variant avoids the 8x pack build cost
     for small query sets (mask-cache tests, grid-node queries)."""
     return _cellpack_gather_impl(grid, idx)

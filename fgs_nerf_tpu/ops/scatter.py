@@ -95,8 +95,9 @@ def corner_scatter_grid_grad(
     corners = [(dx, dy, dz) for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)]
     # The Pallas accumulate kernel consumes bf16 updates (fp32 window
     # accumulation) — casting BEFORE the build and the permutation
-    # gather halves their HBM traffic at identical accumulated values.
-    # The CPU fallback keeps fp32 end to end.
+    # gather halves their HBM traffic.  Each individual update is
+    # bf16-rounded (~2^-8 relative) vs the CPU fallback, which keeps
+    # fp32 end to end; only the accumulation order is identical.
     upd_dtype = jnp.bfloat16 if _use_pallas_combine() else jnp.float32
     upd_groups = []
     for dx, dy, dz in corners:

@@ -64,6 +64,11 @@ def _exclusive_cumprod(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
 def _forward(alpha: jnp.ndarray, valid: jnp.ndarray):
     a = jnp.where(valid, alpha, 0.0)
     t_excl = _exclusive_cumprod(1.0 - a, axis=-1)
+    # NB: the parallel scan's reassociation perturbs t_excl by ~1e-6
+    # relative, which can discretely flip this predicate for rays whose
+    # transmittance sits exactly at the cutoff — a step change in which
+    # samples receive weight/gradient vs the serial reference, bounded
+    # in impact by the flipped samples' own transmittance (~1e-3).
     processed = (t_excl >= EARLY_EXIT_T) & valid
     a_eff = jnp.where(processed, a, 0.0)
     # Prefix property: zeroing post-cutoff alphas leaves T unchanged on

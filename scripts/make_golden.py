@@ -17,9 +17,6 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
-
-jax.config.update("jax_platforms", "cpu")
-
 import numpy as np
 import jax.numpy as jnp
 
@@ -50,6 +47,11 @@ def golden_cfg():
 
 
 def main():
+    # Pin the CPU backend here (not at import): tests import this
+    # module for its config constants, and a module-level
+    # jax.config.update would silently not apply (or error) in a
+    # process whose backend is already initialized (ADVICE r2).
+    jax.config.update("jax_platforms", "cpu")
     cfg, box = golden_cfg()
     data = make_synthetic_dataset(n_views=6, h=H, w=W, n_test=1)
     params = M.init_params(jax.random.PRNGKey(0), cfg)

@@ -233,3 +233,36 @@ def test_trilinear_sample_packed_world_coords(rng):
     a = trilinear_sample(grid, xyz, box)
     b = trilinear_sample(grid, xyz, box, packed=True)
     np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
+def test_packed_gather_bf16_conv_branch(rng, monkeypatch):
+    """Pin the TPU-only bf16 im2col-conv pack branch from CI (ADVICE r2):
+    force ``_use_pallas_pack`` on and assert ``_cellpack_gather_impl``
+    matches the exact fp32 path within bf16 rounding, and that the
+    custom VJP (which is the same exact sort-scatter either way) is
+    unaffected by the forward's pack dtype."""
+    import jax
+    from fgs_nerf_tpu.ops import interp as I
+
+    monkeypatch.setattr(I, "_use_pallas_pack", lambda: True)
+    grid = jnp.asarray(rng.normal(size=(7, 6, 5, 4)).astype(np.float32))
+    idx = jnp.asarray(
+        np.concatenate([
+            rng.uniform(-0.5, 6.5, size=(64, 3)),
+            np.array([[0.0, 0.0, 0.0], [6.0, 5.0, 4.0], [-1.0, 2.0, 2.0],
+                      [-2.5, 2.0, 2.0], [9.0, 9.0, 9.0]]),
+        ]).astype(np.float32)
+    )
+    out_bf16 = I._cellpack_gather_impl(grid, idx)
+    out_exact = I._trilinear_sample_index_impl(grid, idx)
+    # bf16 has an 8-bit mantissa: values agree to ~2^-8 relative
+    np.testing.assert_allclose(out_bf16, out_exact, rtol=1.5e-2, atol=1.5e-2)
+
+    cot = jnp.asarray(rng.normal(size=out_exact.shape).astype(np.float32))
+    g_packed = jax.grad(
+        lambda g: jnp.sum(I.trilinear_sample_index_packed(g, idx) * cot)
+    )(grid)
+    g_plain = jax.grad(
+        lambda g: jnp.sum(I.trilinear_sample_index(g, idx) * cot)
+    )(grid)
+    np.testing.assert_allclose(g_packed, g_plain, rtol=1e-6, atol=1e-6)
