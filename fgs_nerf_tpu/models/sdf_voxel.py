@@ -105,6 +105,10 @@ class SDFModelConfig:
     # per-sample pipeline runs in grid-row order and only scalar
     # channels cross back for the transmittance scan.
     engine: str = "lattice"
+    # remat the shading head (encodings + MLPs recompute in the
+    # backward).  Saves ~2 GB of activations at ~10-15 ms/step of MXU
+    # recompute on the coarse bench — turn off when HBM has headroom.
+    shade_remat: bool = True
 
     @property
     def is_fine(self) -> bool:
@@ -623,9 +627,9 @@ def forward_coarse(
     viewdirs_pts = jnp.broadcast_to(viewdirs[:, None, :], s_pts.shape)
     # remat: recomputing the encodings + MLP in the backward (~1 ms of
     # MXU) beats storing ~2 GB of [N, K, ~100ch] features/activations
-    shade = jax.checkpoint(
-        lambda p, a, b_, c_, d_, e_: _shade_coarse(p, cfg, box, a, b_, c_, d_, e_)
-    )
+    shade = lambda p, a, b_, c_, d_, e_: _shade_coarse(p, cfg, box, a, b_, c_, d_, e_)  # noqa: E731
+    if cfg.shade_remat:
+        shade = jax.checkpoint(shade)
     rgb = shade(params, s_pts, viewdirs_pts, s_normal, viewdirs, s_k0)
     sigmoid_rgb_pt = jax.nn.sigmoid(rgb)  # the double sigmoid (`model/nerf.py:1009-1010`)
 
@@ -771,9 +775,9 @@ def forward_fine(
             all_grad.reshape(*s_pts.shape[:2], 3 * d),
         ]
     # remat: see the coarse forward's rationale
-    shade = jax.checkpoint(
-        lambda p, tf, *a: _shade_fine(p, cfg, box, tf, *a)
-    )
+    shade = lambda p, tf, *a: _shade_fine(p, cfg, box, tf, *a)  # noqa: E731
+    if cfg.shade_remat:
+        shade = jax.checkpoint(shade)
     rgb = shade(
         params, tap_feats, s_pts, s_sdf, s_gradient, s_normal, viewdirs, s_k0
     )
@@ -963,9 +967,9 @@ def forward_coarse_sorted(
     ).astype(jnp.float32)
     rays_xyz_s = (bcoord - 1.0 + fr_s) / (sizes_f - 1.0)
 
-    shade = jax.checkpoint(
-        lambda p, a, b_, c_, d_: _shade_coarse_flat(p, cfg, a, b_, c_, d_)
-    )
+    shade = lambda p, a, b_, c_, d_: _shade_coarse_flat(p, cfg, a, b_, c_, d_)  # noqa: E731
+    if cfg.shade_remat:
+        shade = jax.checkpoint(shade)
     rgb_s = shade(params, rays_xyz_s, vd_s, normal_s, k0_s)  # [M, 3]
 
     crossed = unsort_to_raymajor(
