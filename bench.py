@@ -11,6 +11,7 @@ reference's ragged CUDA pipeline at roughly REF_RAYS_PER_S rays/s
 (a 15k-iteration coarse stage in ~25 min).  The driver records the JSON
 line on real TPU hardware.
 """
+import argparse
 import dataclasses
 import json
 import os
@@ -25,7 +26,23 @@ N_WARMUP = 3
 N_ITERS = 20
 
 
+def _parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument(
+        "--mesh", type=str, default="none",
+        help="scaling-efficiency mode: 'dp=N' (or 'dp=N,sp=M') measures "
+        "the sharded step and reports rays/s plus rays/s/device — run "
+        "on a real slice when one exists, or under "
+        "XLA_FLAGS=--xla_force_host_platform_device_count=N "
+        "JAX_PLATFORMS=cpu for a virtual-mesh numerical check (CPU "
+        "timings are NOT performance data).  Default 'none' is the "
+        "driver's single-chip benchmark.",
+    )
+    return p.parse_args()
+
+
 def main():
+    args = _parse_args()
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     # full-step compiles run minutes on the tunneled TPU; persist them
     import jax
@@ -79,6 +96,40 @@ def main():
     lrs = {"sdf": jnp.asarray(0.1), "k0": jnp.asarray(0.1),
            "refnet": jnp.asarray(1e-3)}
 
+    mesh = None
+    if args.mesh not in ("none", "1", ""):
+        from fgs_nerf_tpu.parallel.mesh import build_mesh
+        from fgs_nerf_tpu.parallel.spatial_train import (
+            make_spatial_gather, mesh_sp_size, place_spatial,
+        )
+
+        mesh = build_mesh(args.mesh)
+        if mesh is not None and mesh_sp_size(mesh) > 1:
+            # rebuild the step with sp-sharded grids + sharded gather
+            cfg = dataclasses.replace(
+                cfg,
+                world_size=(
+                    cfg.world_size[0]
+                    + (-cfg.world_size[0]) % mesh_sp_size(mesh),
+                    *cfg.world_size[1:],
+                ),
+            )
+            params = M.init_params(jax.random.PRNGKey(0), cfg)
+            opt_state = init_state(params)
+            step = make_train_step(
+                cfg, box, loss_w, opts, near=0.2, bg=1.0, n_rand=N_RAND,
+                sdf_tv=0.1, smooth_grad_tv=0.05, inject_tv=False,
+                tv_dense=True, weight_tv_density=0.01, weight_tv_k0=0.0,
+                use_nonempty_mask=False,
+                gather_fn=make_spatial_gather(mesh),
+            )
+            params, opt_state = place_spatial(mesh, params, opt_state)
+        elif mesh is not None:
+            from fgs_nerf_tpu.parallel.mesh import replicated
+
+            params = jax.device_put(params, replicated(mesh))
+            opt_state = jax.device_put(opt_state, replicated(mesh))
+
     rng = np.random.default_rng(0)
     cam = np.array([0.0, 0.0, 3.5], np.float32)
     rays_o = np.broadcast_to(cam, (N_RAND, 3)).copy()
@@ -86,7 +137,12 @@ def main():
     rays_d = look - rays_o
     viewdirs = rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True)
     target = rng.uniform(size=(N_RAND, 3)).astype(np.float32)
-    batch = tuple(jnp.asarray(a) for a in (rays_o, rays_d, viewdirs, target))
+    if mesh is not None:
+        from fgs_nerf_tpu.parallel.mesh import shard_batch
+
+        batch = shard_batch(mesh, rays_o, rays_d, viewdirs, target)
+    else:
+        batch = tuple(jnp.asarray(a) for a in (rays_o, rays_d, viewdirs, target))
     s_val = jnp.asarray(0.2, jnp.float32)
     tv_on = jnp.asarray(1.0, jnp.float32)
 
@@ -101,6 +157,18 @@ def main():
     dt = (time.perf_counter() - t0) / N_ITERS
 
     rays_per_s = N_RAND / dt
+    if mesh is not None:
+        n_dev = int(mesh.devices.size)
+        print(json.dumps({
+            "metric": "train_rays_per_s_mesh",
+            "value": round(rays_per_s, 1),
+            "unit": "rays/s",
+            "mesh": args.mesh,
+            "backend": jax.default_backend(),
+            "rays_per_s_per_device": round(rays_per_s / n_dev, 1),
+            "vs_baseline": round(rays_per_s / REF_RAYS_PER_S, 3),
+        }))
+        return
     print(json.dumps({
         "metric": "train_rays_per_s",
         "value": round(rays_per_s, 1),

