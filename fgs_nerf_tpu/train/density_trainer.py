@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import dataclasses
 import os
-import time
 from typing import Any, Dict, Optional
 
 import numpy as np
@@ -29,11 +28,14 @@ import jax.numpy as jnp
 from fgs_nerf_tpu.core.box import SceneBox
 from fgs_nerf_tpu.models import density_voxel as D
 from fgs_nerf_tpu.models import sdf_voxel as M
-from fgs_nerf_tpu.optim.masked_adam import AdamState, ParamOpts, adam_update, init_state
+from fgs_nerf_tpu.optim.masked_adam import ParamOpts, adam_update, init_state
 from fgs_nerf_tpu.train import checkpoint as ckpt_lib
 from fgs_nerf_tpu.train import schedules
 from fgs_nerf_tpu.train.trainer import StageResult
-from fgs_nerf_tpu.data import rays as ray_lib
+from fgs_nerf_tpu.train.stage_common import (
+    PrintWindow, apply_pervoxel_lr, apply_world_bound_scale,
+    config_passthrough, drop_pervoxel_lr, gather_view_rays, pg_deduction,
+)
 from fgs_nerf_tpu.parallel.mesh import replicated, shard_batch
 
 
@@ -122,26 +124,11 @@ def train_density_stage(
             "(the reference ships none — see config/scenes.py defaults)"
         )
 
-    wbs = cfg_model_blk.get("world_bound_scale", 1.0)
-    if abs(wbs - 1.0) > 1e-9:
-        shift = (xyz_max - xyz_min) * (wbs - 1.0) / 2.0
-        xyz_min = xyz_min - shift
-        xyz_max = xyz_max + shift
-    box = SceneBox.create(xyz_min, xyz_max)
-
-    scale_ratio = cfg_train.get("scale_ratio", 2)
-    pg_scale = list(cfg_train.get("pg_scale", []))
-    num_voxels = int(cfg_model_blk["num_voxels"])
-    cur_voxels = int(num_voxels / (scale_ratio ** len(pg_scale)))
-
-    model_keys = {f.name for f in dataclasses.fields(D.DensityModelConfig)}
-    passthrough = {
-        k: v for k, v in cfg_model_blk.items()
-        if k in model_keys and k not in (
-            "num_voxels", "world_size", "voxel_size", "voxel_size_base", "s_max",
-        )
-    }
-    passthrough["num_voxels_base"] = int(cfg_model_blk["num_voxels_base"])
+    xyz_min, xyz_max, box = apply_world_bound_scale(
+        cfg_model_blk, xyz_min, xyz_max
+    )
+    scale_ratio, pg_scale, cur_voxels = pg_deduction(cfg_train, cfg_model_blk)
+    passthrough = config_passthrough(cfg_model_blk, D.DensityModelConfig)
 
     def build_cfg(nv: int) -> D.DensityModelConfig:
         return D.make_density_config(
@@ -178,15 +165,7 @@ def train_density_stage(
     # per-view training rays; the reference dvgo driver hardcodes the
     # random pixel sampler (`coarse_geometry_searching.py:220-226`)
     rng = np.random.default_rng(seed)
-    images = np.asarray(data_dict["images"])[data_dict["i_train"]]
-    poses = np.asarray(data_dict["poses"])[data_dict["i_train"]]
-    hw = np.asarray(data_dict["HW"])[data_dict["i_train"]]
-    ks = np.asarray(data_dict["Ks"])[data_dict["i_train"]]
-    conv = dict(
-        ndc=cfg.data.ndc, inverse_y=cfg.data.inverse_y,
-        flip_x=cfg.data.flip_x, flip_y=cfg.data.flip_y,
-    )
-    rgb_tr, o_tr, d_tr, v_tr = ray_lib.get_training_rays(images, poses, hw, ks, **conv)
+    rgb_tr, o_tr, d_tr, v_tr, _conv = gather_view_rays(cfg, data_dict)
 
     # per-voxel LR init (`coarse_geometry_searching.py:186-196`):
     # visibility counts scale the density LR; near-invisible voxels are
@@ -197,10 +176,10 @@ def train_density_stage(
             cfg_m.stepsize,
             downrate=int(cfg_train.get("pervoxel_lr_downrate", 1)),
         )
-        buffers["per_lr"] = {"density": cnt / jnp.maximum(cnt.max(), 1.0)}
-        opts["density"] = dataclasses.replace(opts["density"], has_per_lr=True)
-        params = dict(params)
-        params["density"] = jnp.where(cnt <= 2, -100.0, params["density"])
+        params, opts, buffers = apply_pervoxel_lr(
+            params, opts, buffers, cnt,
+            clamp_param="density", clamp_value=-100.0,
+        )
 
     opt_state = init_state(params)
 
@@ -217,9 +196,7 @@ def train_density_stage(
         return step_cache[cfg_m]
 
     n_iters = n_iters_override or int(cfg_train["N_iters"])
-    psnr_hist = []
-    pending = []
-    t0 = time.time()
+    window = PrintWindow(log, "dvgo", n_iters)
     os.makedirs(out_dir, exist_ok=True)
     ckpt_path = os.path.join(out_dir, "geometry_searching_last.npz")
 
@@ -237,11 +214,7 @@ def train_density_stage(
             lr_state = schedules.LrState(
                 schedules.initial_lrs(cfg_train, set(params))
             )
-            if "per_lr" in buffers:
-                buffers.pop("per_lr")
-                opts["density"] = dataclasses.replace(
-                    opts["density"], has_per_lr=False
-                )
+            opts, buffers = drop_pervoxel_lr(opts, buffers)
             log.info(
                 f"[dvgo] pg_scale at {global_step}: voxels -> {cur_voxels} "
                 f"world_size -> {cfg_m.world_size}"
@@ -260,21 +233,10 @@ def train_density_stage(
             target_b, lrs,
         )
         schedules.update_lrs(lr_state, global_step, cfg_train)
-        pending.append(metrics)
+        window.push(metrics)
 
         if global_step % i_print == 0 or global_step == n_iters:
-            got = [jax.device_get(m) for m in pending]
-            pending = []
-            psnrs = [-10.0 * np.log10(max(float(m["mse"]), 1e-12)) for m in got]
-            psnr_hist.extend(psnrs)
-            log.info(
-                f"[dvgo] iter {global_step:6d}/{n_iters} "
-                f"loss {np.mean([m['loss'] for m in got]):.6f} "
-                f"PSNR {np.mean(psnrs):5.2f} "
-                f"Wmax {np.mean([m['wmax_mean'] for m in got]):.3f} "
-                f"W>0 {np.mean([m['w_nonzero_frac'] for m in got]):.3f} "
-                f"eps {time.time() - t0:.0f}s"
-            )
+            window.flush(global_step)
 
     sdf_mask = D.build_sdf_mask(
         params, cfg_m, thres=float(cfg_model_blk.get("bbox_thres", 1e-3))
@@ -293,5 +255,5 @@ def train_density_stage(
     log.info(f"[dvgo] checkpoint saved at {ckpt_path}")
     return StageResult(
         params=params, cfg_model=cfg_m, box=box, ckpt_path=ckpt_path,
-        psnr_history=psnr_hist,
+        psnr_history=window.psnr_history, last_metrics=window.last_means,
     )

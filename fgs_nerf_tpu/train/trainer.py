@@ -34,6 +34,10 @@ from fgs_nerf_tpu.parallel.mesh import replicated, shard_batch
 from fgs_nerf_tpu.parallel.spatial_train import (
     make_spatial_gather, mesh_sp_size, place_spatial,
 )
+from fgs_nerf_tpu.train.stage_common import (
+    apply_pervoxel_lr, apply_world_bound_scale, config_passthrough,
+    drop_pervoxel_lr, pg_deduction,
+)
 
 
 def loss_weights_from_cfg(cfg_train) -> LossWeights:
@@ -181,32 +185,14 @@ def train_stage(
 
     cfg_model_blk, cfg_train = stage_blocks(cfg, stage)
 
-    # world bound scale (`model/nerf_training.py:73-76`)
-    wbs = cfg_model_blk.get("world_bound_scale", 1.0)
-    if abs(wbs - 1.0) > 1e-9:
-        shift = (xyz_max - xyz_min) * (wbs - 1.0) / 2.0
-        xyz_min = xyz_min - shift
-        xyz_max = xyz_max + shift
-    box = SceneBox.create(xyz_min, xyz_max)
-
-    # progressive-scale deduction (`model/nerf_training.py:93-101`)
-    scale_ratio = cfg_train.get("scale_ratio", 2)
-    pg_scale = list(cfg_train.get("pg_scale", []))
+    # world bound scale + progressive-scale deduction + config filter
+    # (`model/nerf_training.py:73-76, 93-101`; shared scaffolding)
+    xyz_min, xyz_max, box = apply_world_bound_scale(
+        cfg_model_blk, xyz_min, xyz_max
+    )
+    scale_ratio, pg_scale, cur_voxels = pg_deduction(cfg_train, cfg_model_blk)
     reset_iter = set(cfg_train.get("reset_iter", []))
-    num_voxels = int(cfg_model_blk["num_voxels"])
-    deduce = scale_ratio ** len(pg_scale)
-    cur_voxels = int(num_voxels / deduce)
-
-    model_keys = {f.name for f in dataclasses.fields(M.SDFModelConfig)}
-    passthrough = {
-        k: (tuple(v) if isinstance(v, list) else v)
-        for k, v in dict(cfg_model_blk).items()
-        if k in model_keys and k not in (
-            "stage", "num_voxels", "world_size", "voxel_size", "voxel_size_base",
-            "s_max",
-        )
-    }
-    passthrough["num_voxels_base"] = int(cfg_model_blk["num_voxels_base"])
+    passthrough = config_passthrough(cfg_model_blk, M.SDFModelConfig)
 
     def build_cfg(nv: int) -> M.SDFModelConfig:
         return M.make_model_config(
@@ -319,10 +305,11 @@ def train_stage(
             cfg_m, box, o_tr, d_tr, near, float(data_dict["far"]),
             cfg_m.stepsize, downrate=int(cfg_train.get("pervoxel_lr_downrate", 1)),
         )
-        buffers["per_lr"] = {"sdf": cnt / jnp.maximum(cnt.max(), 1.0)}
-        opts["sdf"] = dataclasses.replace(opts["sdf"], has_per_lr=True)
-        params = dict(params)
-        params["sdf"] = jnp.where(cnt <= 2, 1.0, params["sdf"])
+        # shape-matched per-voxel LR + low-visibility clamp
+        # (`model/adam.py:210`, `model/nerf_training.py:189-198`)
+        params, opts, buffers = apply_pervoxel_lr(
+            params, opts, buffers, cnt, clamp_param="sdf", clamp_value=1.0
+        )
 
     # ---- step function cache ------------------------------------------
     step_cache: Dict[Any, Any] = {}
@@ -415,9 +402,7 @@ def train_stage(
             # reference quirk: per-voxel LR is not recomputed after a
             # rescale — the shape check silently disables it
             # (`model/adam.py:210`); mirror that by dropping it.
-            if "per_lr" in buffers:
-                buffers.pop("per_lr")
-                opts["sdf"] = dataclasses.replace(opts["sdf"], has_per_lr=False)
+            opts, buffers = drop_pervoxel_lr(opts, buffers)
             log.info(
                 f"[{stage}] pg_scale at {global_step}: voxels -> {cur_voxels} "
                 f"world_size -> {cfg_m.world_size}"
