@@ -35,11 +35,22 @@ def maybe_distributed_init() -> None:
     """
     import os
 
-    if jax.process_count() > 1:  # already initialized
+    # NB: must not touch the backend before initialize() — even
+    # jax.process_count() initializes XLA and makes a later
+    # jax.distributed.initialize() raise (caught by
+    # tests/test_distributed.py).
+    if jax.distributed.is_initialized():
         return
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
-        "FGS_DISTRIBUTED"
-    ) == "1":
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr:
+        # this JAX's initialize() only auto-detects managed clusters
+        # (SLURM / TPU pods); pass the generic env contract explicitly
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]),
+        )
+    elif os.environ.get("FGS_DISTRIBUTED") == "1":
         jax.distributed.initialize()
 
 
