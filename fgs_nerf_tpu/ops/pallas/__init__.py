@@ -1,34 +1,38 @@
-"""Pallas TPU kernels — status and design notes.
+"""Pallas TPU kernels — status and design notes (round 3).
 
-Measured primitive costs on TPU v5e (see ``bench.py`` history):
-XLA dynamic-gather ~6 ns/row (independent of row width), scatter-add
-~15 ns/row, pair-sort ~5 ns/element.  The render pipeline is
-gather/scatter-row bound: pass-1 field sampling is 8 corners x
-rays x sample_k rows and its backward is the same row count of
-scatter-adds.
+Landed kernels:
 
-Direct in-kernel vectorized gather (``jnp.take`` /
-``take_along_axis`` on VMEM refs) does not lower in the current Mosaic
-build ("Only 2D gather is supported", and the supported 2-D forms
-fail lowering on this stack), so a VMEM-resident-grid gather kernel is
-not yet implementable.  The planned design that *is* compatible with
-the hardware and this toolchain:
+* ``scatter_combine.dense_accumulate_pallas`` — sorted scatter-add into
+  the dense padded row space via a sliding one-hot-MXU window (the
+  grid-gradient backward; replaces ATen's nondeterministic atomicAdd,
+  SURVEY.md §2.7 N11).  Serve base is sublane-quantized so any block
+  size compiles; B=512 measured fastest (13.4 ms at the coarse bench's
+  2.36M-sample stream).
+* ``window_gather.sorted_window_gather_pallas`` — the forward twin: a
+  row-sorted sample stream served from scalar-prefetched, block-
+  pipelined pack windows by one-hot MXU matmuls, with an in-body DMA
+  slide loop completing rare blocks that out-span the fast window.
+  Exact (zero-padding semantics via the zero pack tail).  15.5–21 ms
+  at bench scale.
 
-1. **Morton grid layout**: store voxel grids in Z-order so the 8
-   corners of any 2x2x2 cell fall in a small contiguous row window
-   (usually <= 64 rows).
-2. **Sort samples by Morton(base cell)** — XLA pair-sort at ~5
-   ns/element is far cheaper than scatter rows.
-3. **Blockwise one-hot matmul**: for each block of ~1k sorted samples,
-   corners hit a ~640-row window; gather becomes
-   ``onehot[B, W] @ window[W, C]`` and scatter-add becomes
-   ``onehot.T[W, B] @ updates[B, C]`` — both MXU work at a few
-   GFLOP/step instead of serialized scalar scatter.  Spill samples at
-   Morton discontinuities take the slow path.
-4. Fuse alpha + scan + composite per ray-block once (3) lands.
+Measured bounds that shaped (and bound) these designs — full evidence
+in PROFILE_r03.md:
 
-Estimated effect: backward grid scatter 390 ms -> <100 ms per step at
-the coarse-stage workload, before any Pallas fusion.  Step (1)-(3) are
-expressible in pure XLA and are the first perf milestone of the next
-round; the Pallas fusion of (4) follows.
+* XLA's dynamic row gather costs ~11.5 ns/row at >=256 B rows and does
+  NOT improve with wider rows (~80 GB/s per gather stream regardless);
+  index distribution is irrelevant.
+* Mosaic has no vectorized VMEM gather ("multiple source vregs along
+  gather dimension" — only intra-vreg lane shuffles lower), and per-row
+  DMA issue overhead rules out descriptor-per-row gathers.
+* A stable ``lax.sort`` moves 1 payload channel for 5.9 ms (+1.6 ms per
+  extra f32 column) — the cheapest few-channel permutation primitive.
+* The one-hot-MXU serve floors at ~6 ns/sample: ~2-3 us/grid-step
+  pipeline overhead plus the onehot build traffic; ablations show the
+  floor persists with the matmuls removed.
+
+Consequence: every crossing mechanism on this stack clusters at ~5-7
+ns/sample, so the coarse bench's two unavoidable crossings bound the
+step from below; the sorted-stream engine (``ops/sorted_stream.py``)
+eliminates the backward permutation entirely and is the path below the
+XLA-take floor once its elementwise work is channel-major.
 """
