@@ -29,8 +29,8 @@ from fgs_nerf_tpu.core.box import SceneBox
 
 
 def _use_pallas_pack() -> bool:
-    """bf16 im2col-conv pack builder on real TPU backends only; CPU
-    tests and the virtual mesh keep the exact fp32 slice-concat build."""
+    """bf16 pack builder on real TPU backends only; CPU tests and the
+    virtual mesh keep the exact fp32 slice-concat build."""
     try:
         return jax.default_backend() in ("tpu", "axon")
     except Exception:
@@ -38,33 +38,23 @@ def _use_pallas_pack() -> bool:
 
 
 def _build_pack_conv(grid: jnp.ndarray) -> jnp.ndarray:
-    """Cell-pack table via ONE identity conv (the im2col trick).
+    """bf16 cell-pack table via 8 shifted slices + concat.
 
     The pack row of padded base (bx, by, bz) holds the 8 corner values,
-    corner k = dx*4 + dy*2 + dz at channels [k*C, (k+1)*C) — exactly a
-    [2, 2, 2] 'VALID' convolution of the 1-padded grid with one-hot
-    filters w[dx, dy, dz, ch, k*C + ch] = 1.  On TPU the conv maps onto
-    the MXU (<1 ms at the coarse bench size) while the equivalent
-    pad + 8 shifted slices + concat + reshape costs ~10-14 ms/step in
-    HBM copies.  bf16 in/out is EXACT bf16(grid): every output taps a
-    single 1.0 weight, so no accumulation rounding occurs.
+    corner k = dx*4 + dy*2 + dz at channels [k*C, (k+1)*C).  Round-3
+    measurement (v5e): casting the grid to bf16 FIRST makes the
+    slice-concat build 3.3 ms vs 7.7 ms for the one-hot im2col conv it
+    replaces (the round-1 "slices cost 10-14 ms" figure was fp32 —
+    bandwidth halves in bf16 and the concat fuses).  bf16 values are
+    EXACT bf16(grid): the build only moves bytes.
     """
     x, y, z, c = grid.shape
-    w = np.zeros((2, 2, 2, c, 8 * c), np.float32)
-    for k, (dx, dy, dz) in enumerate(
-        itertools.product((0, 1), (0, 1), (0, 1))
-    ):
-        w[dx, dy, dz, np.arange(c), k * c + np.arange(c)] = 1.0
-    gp = jnp.pad(grid, ((1, 1), (1, 1), (1, 1), (0, 0))).astype(jnp.bfloat16)
-    out = jax.lax.conv_general_dilated(
-        gp[None],
-        jnp.asarray(w, jnp.bfloat16),
-        window_strides=(1, 1, 1),
-        padding="VALID",
-        dimension_numbers=("NXYZC", "XYZIO", "NXYZC"),
-        preferred_element_type=jnp.bfloat16,
-    )[0]  # [X+1, Y+1, Z+1, 8C]
-    return out.reshape(-1, 8 * c)
+    gp = jnp.pad(grid.astype(jnp.bfloat16), ((1, 1), (1, 1), (1, 1), (0, 0)))
+    parts = [
+        jax.lax.slice(gp, (dx, dy, dz, 0), (dx + x + 1, dy + y + 1, dz + z + 1, c))
+        for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)
+    ]
+    return jnp.concatenate(parts, axis=-1).reshape(-1, 8 * c)
 
 
 def _corner_gather(flat_grid, ci, sizes):

@@ -94,35 +94,21 @@ def build_cell_pack(field: jnp.ndarray, rp: int) -> jnp.ndarray:
     k = dx*4 + dy*2 + dz at channels [k*C, (k+1)*C); out-of-grid
     corners are exact zeros.  Output zero-padded to ``rp`` rows.
 
-    bf16 via one identity conv on TPU (exact bf16(field): every output
-    taps a single 1.0 weight); fp32 shifted slices elsewhere.
+    bf16 shifted slices on TPU (exact bf16(field), measured 2.3x
+    faster than the one-hot im2col conv — see ops/interp.py); fp32
+    slices elsewhere.
     """
     x, y, z, c = field.shape
     if _use_pallas_combine():
-        import itertools
-
-        w = np.zeros((2, 2, 2, c, 8 * c), np.float32)
-        for k, (dx, dy, dz) in enumerate(
-            itertools.product((0, 1), (0, 1), (0, 1))
-        ):
-            w[dx, dy, dz, np.arange(c), k * c + np.arange(c)] = 1.0
-        gp = jnp.pad(field, ((1, 2), (1, 2), (1, 2), (0, 0))).astype(
-            jnp.bfloat16
+        field = field.astype(jnp.bfloat16)
+    gp = jnp.pad(field, ((1, 2), (1, 2), (1, 2), (0, 0)))
+    parts = [
+        jax.lax.slice(
+            gp, (dx, dy, dz, 0), (dx + x + 2, dy + y + 2, dz + z + 2, c)
         )
-        pack = jax.lax.conv_general_dilated(
-            gp[None], jnp.asarray(w, jnp.bfloat16), window_strides=(1, 1, 1),
-            padding="VALID", dimension_numbers=("NXYZC", "XYZIO", "NXYZC"),
-            preferred_element_type=jnp.bfloat16,
-        )[0].reshape(-1, 8 * c)
-    else:
-        gp = jnp.pad(field, ((1, 2), (1, 2), (1, 2), (0, 0)))
-        parts = [
-            jax.lax.slice(
-                gp, (dx, dy, dz, 0), (dx + x + 2, dy + y + 2, dz + z + 2, c)
-            )
-            for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)
-        ]
-        pack = jnp.concatenate(parts, axis=-1).reshape(-1, 8 * c)
+        for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)
+    ]
+    pack = jnp.concatenate(parts, axis=-1).reshape(-1, 8 * c)
     r = pack.shape[0]
     return jnp.pad(pack, ((0, rp - r), (0, 0)))
 
