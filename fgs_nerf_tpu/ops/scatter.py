@@ -99,7 +99,7 @@ def corner_scatter_grid_grad(
     # bf16-rounded (~2^-8 relative) vs the CPU fallback, which keeps
     # fp32 end to end; only the accumulation order is identical.
     upd_dtype = jnp.bfloat16 if _use_pallas_combine() else jnp.float32
-    upd_groups = []
+    w8_cols = []
     for dx, dy, dz in corners:
         ci = i0 + jnp.asarray((dx, dy, dz), jnp.int32)
         inb = jnp.all((ci >= 0) & (ci < sizes), axis=-1)
@@ -108,10 +108,15 @@ def corner_scatter_grid_grad(
             * (fracs[:, 1] if dy else 1.0 - fracs[:, 1])
             * (fracs[:, 2] if dz else 1.0 - fracs[:, 2])
         )
-        upd_groups.append(
-            ((w * inb.astype(w.dtype))[:, None] * g).astype(upd_dtype)
-        )
-    upd_unsorted = jnp.concatenate(upd_groups, axis=-1)  # [M, 8C]
+        w8_cols.append(w * inb.astype(w.dtype))
+    # ONE broadcast outer product [M, 8, C] -> [M, 8C]: the
+    # per-corner-concat formulation made XLA feed the cotangent through
+    # a serial channel-major relayout while-loop (~4.4 ms/step at the
+    # bench shape, HLO while.13)
+    w8 = jnp.stack(w8_cols, axis=-1)  # [M, 8]
+    upd_unsorted = (
+        w8[:, :, None] * g[:, None, :]
+    ).reshape(m, -1).astype(upd_dtype)  # [M, 8C]
 
     # One 2-operand sort yields both the sorted keys and the
     # permutation (an argsort would pay an extra [M] gather for keys).
