@@ -196,13 +196,16 @@ def main():
         )
         ckpt_path = cands[0] if cands else None
     try:
-        _ckpt_workload_variant(ckpt_path, locals())
+        _ckpt_workload_variant(
+            ckpt_path, cfg, box, loss_w, opts, batch, s_val, lrs, tv_on
+        )
     except Exception as e:  # noqa: BLE001 — the stderr extra must never
         # break the primary stdout JSON line's exit status
         print(f"ckpt-workload variant skipped: {e!r}", file=sys.stderr)
 
 
-def _ckpt_workload_variant(ckpt_path, env):
+def _ckpt_workload_variant(ckpt_path, cfg, box, loss_w, opts, batch, s_val,
+                           lrs, tv_on):
     """Re-time the step with a trained checkpoint's mask cache (stderr)."""
     import dataclasses
 
@@ -224,15 +227,12 @@ def _ckpt_workload_variant(ckpt_path, env):
     buffers = {
         "mask_cache": M.build_mask_cache(jnp.asarray(ck.sdf_mask), *ck.box)
     }
-    cfg_ck = dataclasses.replace(env["cfg"], stage="coarse")
+    cfg_ck = dataclasses.replace(cfg, stage="coarse")
     step_ck = make_train_step(
-        cfg_ck, env["box"], env["loss_w"], env["opts"], near=0.2, bg=1.0,
+        cfg_ck, box, loss_w, opts, near=0.2, bg=1.0,
         n_rand=N_RAND, sdf_tv=0.1, smooth_grad_tv=0.05, inject_tv=False,
         tv_dense=True, weight_tv_density=0.01, weight_tv_k0=0.0,
         use_nonempty_mask=False,
-    )
-    batch, s_val, lrs, tv_on = (
-        env["batch"], env["s_val"], env["lrs"], env["tv_on"]
     )
     params_ck = M.init_params(jax.random.PRNGKey(0), cfg_ck)
     opt_ck = init_state(params_ck)

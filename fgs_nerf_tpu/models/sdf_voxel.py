@@ -101,9 +101,9 @@ class SDFModelConfig:
     mlp_bf16: bool = True  # bf16 MXU matmuls (fp32 accum + master weights)
     # 'lattice': classic ray-major pipeline (gather crossings at the XLA
     # row-take floor).  'sorted': row-sorted stream engine
-    # (ops/sorted_stream.py) — geometry/coarse training fast path; the
-    # per-sample pipeline runs in grid-row order and only scalar
-    # channels cross back for the transmittance scan.
+    # (ops/sorted_cm.py, channel-major) — geometry/coarse training fast
+    # path; the per-sample pipeline runs in grid-row order and only
+    # scalar channels cross back for the transmittance scan.
     engine: str = "lattice"
     # Field representation for k0 (`model/grid.py:27-33` create_grid):
     # 'dense' (the reference's only configured choice) or 'tensorf'
@@ -926,125 +926,220 @@ def _shade_fine(params, cfg: SDFModelConfig, box, tap_feats, pts, sdf, gradient,
 
 
 # ---------------------------------------------------------------------------
-# Sorted-stream coarse engine (ops/sorted_stream.py)
+# Sorted-stream coarse engine, channel-major (ops/sorted_cm.py)
 # ---------------------------------------------------------------------------
 
 
-def _shade_coarse_flat(params, cfg: SDFModelConfig, rays_xyz, viewdirs_pts,
-                       normal, k0):
-    """``_shade_coarse`` over a flat [M, ...] sample stream with
-    precomputed normalized coordinates and per-sample view directions
-    (identical values: the lattice path's vd_emb broadcast equals the
-    per-sample encoding of the broadcast directions)."""
-    xyz_emb = sincos_encode(rays_xyz, freq_bank(cfg.posbase_pe))
-    refl = reflect(viewdirs_pts, normal)
-    reflect_emb = sincos_encode(refl, freq_bank(cfg.refbase_pe))
-    feats = [k0, xyz_emb, reflect_emb, normal]
+def _shade_coarse_cm(params, cfg: SDFModelConfig, rays_xyz, vd, normal, k0):
+    """``_shade_coarse`` over a channel-major sample stream: every input
+    is a tuple of [M] arrays (rays_xyz, vd, normal) or a [C, M] matrix
+    (k0); features are built as row blocks and concatenated on the
+    sublane axis, so elementwise work runs at full lane width.
+
+    Identical values to the lattice head: the per-sample encoding of the
+    broadcast view directions equals the broadcast of the per-ray
+    encoding, and the row order below matches the channel-last concat
+    order (so the SAME refnet weights apply).
+    """
+    pos_f = freq_bank(cfg.posbase_pe)
+    ref_f = freq_bank(cfg.refbase_pe)
+
+    def enc(parts, freqs):
+        x3 = jnp.stack(parts, axis=0)  # [3, M]
+        xf = (x3[:, None, :] * freqs[None, :, None]).reshape(-1, x3.shape[-1])
+        return jnp.concatenate([x3, jnp.sin(xf), jnp.cos(xf)], axis=0)
+
+    nx, ny, nz = normal
+    vx, vy, vz = vd
+    dot2 = 2.0 * (vx * nx + vy * ny + vz * nz)
+    refl = (vx - dot2 * nx, vy - dot2 * ny, vz - dot2 * nz)
+    feats = [k0, enc(rays_xyz, pos_f), enc(refl, ref_f),
+             jnp.stack(normal, axis=0)]
     if cfg.use_viewdir:
-        feats.append(sincos_encode(viewdirs_pts, freq_bank(cfg.viewbase_pe)))
+        feats.append(enc(vd, freq_bank(cfg.viewbase_pe)))
     if cfg.mlp_bf16:
         feats = [f.astype(jnp.bfloat16) for f in feats]
-    ref_feat = jnp.concatenate(feats, axis=-1)
+    x = jnp.concatenate(feats, axis=0)  # [Cin, M]
     return jax.nn.sigmoid(
-        mlp_apply(params["refnet"], ref_feat, bf16=cfg.mlp_bf16).astype(jnp.float32)
-    )
+        _mlp_apply_cm(params["refnet"], x, bf16=cfg.mlp_bf16)
+    )  # [3, M] f32
+
+
+def _mlp_apply_cm(mlp_params, x, bf16: bool):
+    """``models.mlp.mlp_apply`` for channel-major activations [C, M]:
+    ``w.T @ x + b[:, None]`` per layer (same weights, transposed
+    application — bitwise-equal matmuls up to dot-order)."""
+    n = len(mlp_params) // 2
+    if bf16:
+        x = x.astype(jnp.bfloat16)
+    for i in range(n):
+        w, b = mlp_params[f"w{i}"], mlp_params[f"b{i}"]
+        last = i == n - 1
+        if bf16:
+            out_t = jnp.float32 if last else jnp.bfloat16
+            x = jax.lax.dot_general(
+                w.astype(jnp.bfloat16), x, (((0,), (0,)), ((), ())),
+                preferred_element_type=out_t,
+            ) + b.astype(out_t)[:, None]
+        else:
+            x = jax.lax.dot_general(
+                w, x, (((0,), (0,)), ((), ())),
+            ) + b[:, None]
+        if not last:
+            x = jax.nn.relu(x)
+    return x.astype(jnp.float32)
 
 
 def forward_coarse_sorted(
     params, buffers, cfg: SDFModelConfig, box: SceneBox,
     rays_o, rays_d, viewdirs, s_val, near, bg,
 ) -> Dict[str, jnp.ndarray]:
-    """Geometry-searching / coarse render on the row-sorted stream.
+    """Geometry-searching / coarse render on the row-sorted stream,
+    channel-major end to end (``ops/sorted_cm.py``).
 
     Semantics match ``forward_coarse`` with dense (``shade_k == 0``)
-    shading; see ``ops/sorted_stream.py`` for the reorganization
-    rationale.  ``normal_marched`` is not produced (training losses
-    consume the per-sample ``ndv`` instead); use the lattice engine for
-    eval-time rendering artifacts.
+    shading.  Per-sample data lives as 1-D [M] arrays / [C, M] matrices
+    in grid-row order; only five scalar channels (alpha, rgb x3, n.v)
+    cross back to ray order for the transmittance scan, and the grid
+    gradient consumes cotangents already sorted (no backward permute).
+    ``normal_marched`` is not produced (training losses consume the
+    per-sample ``ndv``); use the lattice engine for eval artifacts.
     """
+    from fgs_nerf_tpu.ops.ray_sample import ray_box_intersect
     from fgs_nerf_tpu.ops.sdf2alpha import neus_alpha_from_cos
-    from fgs_nerf_tpu.ops.sorted_stream import (
-        corner_weights, pack_gather_sorted, pack_rows_fracs, padded_rows,
-        rows_to_coords, unsort_to_raymajor,
+    from fgs_nerf_tpu.ops.sorted_cm import (
+        corner_weights_cm, pack_gather_sorted_cm, padded_rows_cm,
+        rows_fracs_cm, rows_to_coords_cm, unsort_channels,
     )
+    from fgs_nerf_tpu.ops.stencils import sdf_gradient_cm
 
     n = rays_o.shape[0]
-    rs = sample_along_rays(rays_o, rays_d, box, near, cfg.step_dist, cfg.s_max)
-    pts, valid = rs.pts, rs.valid
+    dist = jnp.asarray(cfg.step_dist, jnp.float32)
 
-    if cfg.stage == "coarse" and "mask_cache" in buffers:
-        valid = valid & mask_cache_query(buffers["mask_cache"], pts, cfg.mask_cache_thres)
-    if "inc_lower" in buffers:
-        valid = valid & inc_mask_query(
-            buffers["inc_lower"], buffers["inc_upper"], pts, box, cfg.world_size
+    # ---- per-axis lattice sampling (bitwise-identical expressions to
+    # ops.ray_sample.sample_along_rays, evaluated channel-wise so the
+    # [N, S] arrays keep full lanes) -----------------------------------
+    t_min, t_max = ray_box_intersect(rays_o, rays_d, box, near, 1e9)
+    d_norm = jnp.linalg.norm(rays_d, axis=-1)
+    n_steps = jnp.maximum(
+        jnp.ceil((t_max - t_min) * d_norm / cfg.step_dist), 1.0
+    ).astype(jnp.int32)
+    start = rays_o + rays_d * t_min[..., None]  # [N, 3]
+    dir_unit = rays_d / d_norm[..., None]
+    step_ids = jnp.arange(cfg.s_max, dtype=jnp.float32)
+
+    def axes_at(steps):  # steps [N, S'] -> 3 x [N, S'] world coords
+        d_ = steps * cfg.step_dist
+        return tuple(
+            start[:, a:a + 1] + dir_unit[:, a:a + 1] * d_ for a in range(3)
         )
+
+    steps0 = jnp.broadcast_to(step_ids[None, :], (n, cfg.s_max))
+    px, py, pz = axes_at(steps0)
+    in_range = step_ids[None, :] < n_steps[:, None].astype(jnp.float32)
+    valid = in_range
+    for a, p in enumerate((px, py, pz)):
+        valid = valid & (p >= box.xyz_min[a]) & (p <= box.xyz_max[a])
+
+    needs_pts = (
+        (cfg.stage == "coarse" and "mask_cache" in buffers)
+        or "inc_lower" in buffers
+    )
+    if needs_pts:
+        pts = jnp.stack([px, py, pz], axis=-1)
+        if cfg.stage == "coarse" and "mask_cache" in buffers:
+            valid = valid & mask_cache_query(
+                buffers["mask_cache"], pts, cfg.mask_cache_thres
+            )
+        if "inc_lower" in buffers:
+            valid = valid & inc_mask_query(
+                buffers["inc_lower"], buffers["inc_upper"], pts, box,
+                cfg.world_size,
+            )
 
     if 0 < cfg.sample_k < cfg.s_max:
         valid, steps, sample_overflow = _compact_valid(valid, cfg.sample_k)
-        pts = _pts_at_steps(rays_o, rays_d, rs.t_min, steps, cfg.step_dist)
+        px, py, pz = axes_at(steps)
     else:
-        steps = jnp.broadcast_to(
-            jnp.arange(cfg.s_max, dtype=jnp.float32), valid.shape
-        )
+        steps = steps0
         sample_overflow = jnp.zeros((n,), bool)
     s = valid.shape[-1]
     m = n * s
 
+    # ---- field, channel-major ----------------------------------------
     sdf_grid = params["sdf"]
     if cfg.smooth_sdf:
         sdf_grid = smooth_grid(sdf_grid, cfg.smooth_ksize, cfg.smooth_sigma)
-    grad_field = sdf_gradient(params["sdf"], cfg.voxel_size, cfg.grad_mode)
-    field = jnp.concatenate([sdf_grid, grad_field, k0_dense(params, cfg)], axis=-1)
+    # gradient field from the RAW grid (`model/nerf.py:972`)
+    grad_cm = sdf_gradient_cm(params["sdf"][..., 0], cfg.voxel_size,
+                              cfg.grad_mode)
+    k0_cm = jnp.transpose(k0_dense(params, cfg), (3, 0, 1, 2))
+    field_cm = jnp.concatenate(
+        [sdf_grid[..., 0][None], grad_cm, k0_cm], axis=0
+    )  # [4 + k0_dim, X, Y, Z]
 
-    sizes_f = jnp.asarray(cfg.world_size, jnp.float32)
-    idx = box.normalize(pts) * (sizes_f - 1.0)
-    rows, fracs, ok = pack_rows_fracs(idx, cfg.world_size)
-    r_sent = padded_rows(cfg.world_size)
-    keys = jnp.where(valid & ok, rows, r_sent).reshape(m).astype(jnp.int32)
+    # ---- keys / sort --------------------------------------------------
+    sizes = cfg.world_size
+    ext = box.extent
+    ix = (px - box.xyz_min[0]) / ext[0] * (sizes[0] - 1.0)
+    iy = (py - box.xyz_min[1]) / ext[1] * (sizes[1] - 1.0)
+    iz = (pz - box.xyz_min[2]) / ext[2] * (sizes[2] - 1.0)
+    rows, (fx, fy, fz), ok = rows_fracs_cm(ix, iy, iz, sizes)
+    r_sent = padded_rows_cm(sizes)
+    keys = jnp.where(valid & ok, rows, r_sent).reshape(m)
 
     iota = jnp.arange(m, dtype=jnp.int32)
-    vd = jnp.broadcast_to(viewdirs[:, None, :], (n, s, 3)).reshape(m, 3)
-    fr = fracs.reshape(m, 3)
-    keys_s, iota_s, fx, fy, fz, vx, vy, vz = jax.lax.stop_gradient(
-        jax.lax.sort(
-            (keys, iota, fr[:, 0], fr[:, 1], fr[:, 2],
-             vd[:, 0], vd[:, 1], vd[:, 2]),
-            dimension=0, num_keys=1,
+    vshape = (n, s)
+    vdx = jnp.broadcast_to(viewdirs[:, 0:1], vshape).reshape(m)
+    vdy = jnp.broadcast_to(viewdirs[:, 1:2], vshape).reshape(m)
+    vdz = jnp.broadcast_to(viewdirs[:, 2:3], vshape).reshape(m)
+    keys_s, iota_s, fx_s, fy_s, fz_s, vx_s, vy_s, vz_s = (
+        jax.lax.stop_gradient(
+            jax.lax.sort(
+                (keys, iota, fx.reshape(m), fy.reshape(m), fz.reshape(m),
+                 vdx, vdy, vdz),
+                dimension=0, num_keys=1,
+            )
         )
     )
-    fr_s = jnp.stack([fx, fy, fz], axis=-1)
-    vd_s = jnp.stack([vx, vy, vz], axis=-1)
-    w8_s = corner_weights(fr_s)
+    w8_s = corner_weights_cm(fx_s, fy_s, fz_s)  # [8, M]
 
-    samp = pack_gather_sorted(field, keys_s, w8_s)  # [M, 4 + k0_dim]
-    sdf_s = samp[:, 0]
-    grad_s = samp[:, 1:4]
-    k0_s = samp[:, 4:]
+    samp = pack_gather_sorted_cm(field_cm, keys_s, w8_s)  # [4 + k0_dim, M]
+    sdf_s = samp[0]
+    gx, gy, gz = samp[1], samp[2], samp[3]
+    k0_s = samp[4:]
 
-    dist = jnp.asarray(cfg.step_dist, jnp.float32)
-    true_cos = jnp.sum(vd_s * grad_s, axis=-1)
+    true_cos = vx_s * gx + vy_s * gy + vz_s * gz
     alpha_s = neus_alpha_from_cos(true_cos, sdf_s, dist, s_val)
-    normal_s = l2_normalize(grad_s / (_safe_norm(grad_s) + 1e-7))
-    ndv_s = jnp.sum(normal_s * (-vd_s), axis=-1)
+    # normal = l2_normalize(g / (|g|_safe + 1e-7)) — same op chain as
+    # the lattice engine's _safe_norm + l2_normalize, componentwise
+    gn = jnp.sqrt(jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-24)) + 1e-7
+    hx, hy, hz = gx / gn, gy / gn, gz / gn
+    hn = jnp.sqrt(
+        jnp.maximum(hx * hx + hy * hy + hz * hz,
+                    float(np.finfo(np.float32).eps))
+    )
+    nx, ny, nz = hx / hn, hy / hn, hz / hn
+    ndv_s = -(nx * vx_s + ny * vy_s + nz * vz_s)
 
-    bcoord = rows_to_coords(
-        jnp.minimum(keys_s, r_sent - 1), cfg.world_size
-    ).astype(jnp.float32)
-    rays_xyz_s = (bcoord - 1.0 + fr_s) / (sizes_f - 1.0)
+    b0, b1, b2 = rows_to_coords_cm(jnp.minimum(keys_s, r_sent - 1), sizes)
+    rays_xyz_s = (
+        (b0 - 1.0 + fx_s) / (sizes[0] - 1.0),
+        (b1 - 1.0 + fy_s) / (sizes[1] - 1.0),
+        (b2 - 1.0 + fz_s) / (sizes[2] - 1.0),
+    )
 
-    shade = lambda p, a, b_, c_, d_: _shade_coarse_flat(p, cfg, a, b_, c_, d_)  # noqa: E731
+    shade = lambda p, a, b_, c_, d_: _shade_coarse_cm(p, cfg, a, b_, c_, d_)  # noqa: E731
     if cfg.shade_remat:
         shade = jax.checkpoint(shade)
-    rgb_s = shade(params, rays_xyz_s, vd_s, normal_s, k0_s)  # [M, 3]
+    rgb_s = shade(params, rays_xyz_s, (vx_s, vy_s, vz_s), (nx, ny, nz), k0_s)
 
-    crossed = unsort_to_raymajor(
-        iota_s, keys,
-        jnp.stack([alpha_s, rgb_s[:, 0], rgb_s[:, 1], rgb_s[:, 2], ndv_s],
-                  axis=-1),
+    alpha_u, r_u, g_u, b_u, ndv_u = unsort_channels(
+        iota_s, keys, (alpha_s, rgb_s[0], rgb_s[1], rgb_s[2], ndv_s)
     )
-    alpha = crossed[:, 0].reshape(n, s)
-    rgb = crossed[:, 1:4].reshape(n, s, 3)
-    ndv = crossed[:, 4].reshape(n, s)
+    alpha = alpha_u.reshape(n, s)
+    ndv = ndv_u.reshape(n, s)
+    rgb_ch = (r_u.reshape(n, s), g_u.reshape(n, s), b_u.reshape(n, s))
 
     # ray-major tail — identical to forward_coarse's double scan
     w1, _ = alpha_to_weights(alpha, valid)
@@ -1054,25 +1149,27 @@ def forward_coarse_sorted(
         live = valid
     weights, alphainv_last = alpha_to_weights(alpha, live)
 
-    sigmoid_rgb_pt = jax.nn.sigmoid(rgb)
     w_full = weights * live
-    cum_weights = jnp.sum(w_full, axis=-1, keepdims=True)
-    rgb_marched = jnp.clip(
-        jnp.sum(w_full[..., None] * rgb, axis=1) + (1.0 - cum_weights) * bg,
-        0.0, 1.0,
-    )
-    sigmoid_rgb = jnp.clip(
-        jnp.sum(w_full[..., None] * sigmoid_rgb_pt, axis=1)
-        + (1.0 - cum_weights) * bg,
-        0.0, 1.0,
-    )
+    cum_w = jnp.sum(w_full, axis=-1)  # [N]
+    comp, comp_sig = [], []
+    for ch in rgb_ch:
+        comp.append(jnp.clip(
+            jnp.sum(w_full * ch, axis=-1) + (1.0 - cum_w) * bg, 0.0, 1.0
+        ))
+        comp_sig.append(jnp.clip(
+            jnp.sum(w_full * jax.nn.sigmoid(ch), axis=-1)
+            + (1.0 - cum_w) * bg,
+            0.0, 1.0,
+        ))
+    rgb_marched = jnp.stack(comp, axis=-1)
+    sigmoid_rgb = jnp.stack(comp_sig, axis=-1)
     depth = jax.lax.stop_gradient(jnp.sum(w_full * steps * dist, axis=-1))
 
     return {
         "rgb_marched": rgb_marched,
         "sigmoid_rgb": sigmoid_rgb,
         "alphainv_cum": alphainv_last,
-        "cum_weights": cum_weights,
+        "cum_weights": cum_w[..., None],
         "depth": depth,
         "disp": 1.0 / jnp.maximum(depth, 1e-10),
         "weights": w_full,
@@ -1080,7 +1177,7 @@ def forward_coarse_sorted(
         "live": live,
         "valid": valid,
         "sel_weights": w_full,
-        "sel_rgb": rgb,
+        "sel_rgb_ch": rgb_ch,
         "sel_live": live,
         "overflow": sample_overflow,
         "s_val": s_val,

@@ -37,7 +37,7 @@ def _use_pallas_pack() -> bool:
         return False
 
 
-def _build_pack_conv(grid: jnp.ndarray) -> jnp.ndarray:
+def _build_pack_slices(grid: jnp.ndarray) -> jnp.ndarray:
     """bf16 cell-pack table via 8 shifted slices + concat.
 
     The pack row of padded base (bx, by, bz) holds the 8 corner values,
@@ -144,7 +144,7 @@ def _cellpack_gather_impl(grid: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """
     x, y, z, c = grid.shape
     if _use_pallas_pack():
-        pack = _build_pack_conv(grid)  # [(X+1)(Y+1)(Z+1), 8C] bf16
+        pack = _build_pack_slices(grid)  # [(X+1)(Y+1)(Z+1), 8C] bf16
     else:
         gp = jnp.pad(grid, ((1, 1), (1, 1), (1, 1), (0, 0)))
         parts = [

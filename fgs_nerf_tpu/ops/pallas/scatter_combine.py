@@ -101,12 +101,15 @@ def _dense_kernel(rows_ref, upd_ref, out_ref, acc, a0_ref, sem):
         jax.lax.while_loop(lambda a: a < cap, flush, a0)
 
 
-@functools.partial(jax.jit, static_argnames=("n_rows_cap", "block"))
+@functools.partial(
+    jax.jit, static_argnames=("n_rows_cap", "block", "interpret")
+)
 def dense_accumulate_pallas(
     rows: jnp.ndarray,  # [M] s32 non-decreasing dense-row ids, < n_rows_cap
     upd: jnp.ndarray,  # [M, C]
     n_rows_cap: int,
     block: int = 2048,
+    interpret: bool = False,  # run the kernel body on CPU (CI parity tests)
 ) -> jnp.ndarray:
     """D[row] += upd, D zero elsewhere; returns [n_rows_cap, C] f32.
 
@@ -147,5 +150,6 @@ def dense_accumulate_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((cap, c), jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
     )(rows_b, upd_b)
     return out[:n_rows_cap, :c0]

@@ -1,0 +1,175 @@
+"""Pallas TPU kernel: channel-major sorted scatter-add with in-kernel
+update construction — the backward accumulate of the channel-major
+sorted engine (mirror of ``scatter_combine.py``; see that module for
+the sliding-window scheme and `/root/reference/model/nerf.py:639-672`
+/ SURVEY.md §2.7 N11 for the CUDA role).
+
+Differences from the row-major kernel:
+
+* **Updates are built in VMEM from their factors.**  The grid update of
+  sample s is the outer product ``w8[k, s] * g[c, s]`` (corner weight x
+  output cotangent).  The row-major kernel streams the materialized
+  ``[M, 8C]`` product from HBM (~600 MB bf16 at the bench shape); here
+  the kernel reads ``w8 [8, M]`` + ``g [C, M]`` (~190 MB f32) and forms
+  the ``[8C, B]`` block product on-chip — the cotangent never exists in
+  HBM in outer-product form.
+* **Full-window serve.**  The accumulator is ``[8C, 2B]`` channel-major
+  and every serve iteration covers the whole 2B-row window with ONE
+  native ``upd[8C, B] @ onehot[B, 2B]`` dot — no dynamic vector offset,
+  so no sublane-alignment quantization.
+* Rows are passed twice: lane-major ``[sub, 128]`` for the masked-min
+  window computation, column ``[B, 1]`` so the one-hot compare puts the
+  sample dim on sublanes without an in-kernel relayout.
+
+Output is channel-major dense ``[8C, cap]`` f32; every dense row is
+written exactly once (gaps flush zeros).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _dense_cm_kernel(rows_ref, rowsc_ref, w8_ref, g_ref, out_ref,
+                     acc, a0_ref, sem):
+    b = pl.program_id(0)
+    nb = pl.num_programs(0)
+    c8 = acc.shape[0]
+    c = c8 // 8
+    block = acc.shape[1] // 2
+    cap = out_ref.shape[1]
+    sub = block // 128
+
+    @pl.when(b == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+        a0_ref[0] = 0
+
+    rows2 = rows_ref[0]  # [sub, 128] int32, non-decreasing in flat order
+    idx2 = (
+        jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 0) * 128
+        + jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 1)
+    )
+    rows_col = rowsc_ref[:]  # [block, 1] (same values, sample dim on sublanes)
+    idx_col = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+
+    # per-block outer-product update, built once in VMEM
+    upd = (
+        w8_ref[:][:, None, :] * g_ref[:][None, :, :]
+    ).reshape(c8, block).astype(jnp.bfloat16)
+
+    def flush(a0):
+        dma = pltpu.make_async_copy(
+            acc.at[:, pl.ds(0, block)], out_ref.at[:, pl.ds(a0, block)], sem
+        )
+        dma.start()
+        dma.wait()
+        acc[:, pl.ds(0, block)] = acc[:, pl.ds(block, block)]
+        acc[:, pl.ds(block, block)] = jnp.zeros((c8, block), acc.dtype)
+        return a0 + block
+
+    def cond(carry):
+        f, _ = carry
+        return f < block
+
+    def body(carry):
+        f, a0 = carry
+        unserved = idx2 >= f
+        w = jnp.min(jnp.where(unserved, rows2, 2**30))
+        # slide until the min unserved row fits the 2B window at a0
+        a0 = jax.lax.while_loop(lambda a: w - a >= 2 * block, flush, a0)
+        serve_col = (idx_col >= f) & (rows_col < a0 + 2 * block)
+        loc = jnp.where(serve_col, rows_col - a0, -1)  # [block, 1]
+        iota_r = jax.lax.broadcasted_iota(
+            jnp.int32, (block, 2 * block), 1
+        )
+        onehot = (iota_r == loc).astype(jnp.bfloat16)  # [B(s), 2B(r)]
+        contrib = jax.lax.dot_general(
+            upd, onehot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [8C, 2B]
+        acc[:, :] += contrib
+        # rows are sorted, so the served set is the contiguous run at f
+        return f + jnp.sum(serve_col.astype(jnp.int32)), a0
+
+    _, a0 = jax.lax.while_loop(cond, body, (jnp.int32(0), a0_ref[0]))
+    a0_ref[0] = a0
+
+    # final block: flush the remaining coverage (zeros fill the tail)
+    @pl.when(b == nb - 1)
+    def _():
+        jax.lax.while_loop(lambda a: a < cap, flush, a0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_rows_cap", "block", "interpret")
+)
+def dense_accumulate_cm_pallas(
+    rows: jnp.ndarray,  # [M] s32 non-decreasing dense-row ids, < n_rows_cap
+    w8: jnp.ndarray,    # [8, M] corner weights (zero => no deposit)
+    g: jnp.ndarray,     # [C, M] output cotangent
+    n_rows_cap: int,
+    block: int = 512,
+    interpret: bool = False,  # run the kernel body on CPU (CI parity tests)
+) -> jnp.ndarray:
+    """D[:, row] += vec(w8[:, s] x g[:, s]); returns [8C, cap] f32
+    channel-major (channel k*C + c holds corner k of channel c)."""
+    c = g.shape[0]
+    c8 = 8 * c
+    m = rows.shape[0]
+    pad = (-m) % block
+    if pad:
+        # padded samples repeat the last row with zero weights
+        rows = jnp.concatenate([rows, jnp.full((pad,), rows[-1], rows.dtype)])
+        w8 = jnp.pad(w8, ((0, 0), (0, pad)))
+        g = jnp.pad(g, ((0, 0), (0, pad)))
+    mp = rows.shape[0]
+    nb = mp // block
+    cap = n_rows_cap + ((-n_rows_cap) % block)
+
+    grid_spec = pl.GridSpec(
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, block // 128, 128), lambda b: (b, 0, 0)),
+            pl.BlockSpec((block, 1), lambda b: (b, 0)),
+            pl.BlockSpec((8, block), lambda b: (0, b)),
+            pl.BlockSpec((c, block), lambda b: (0, b)),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((c8, 2 * block), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        _dense_cm_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((c8, cap), jnp.float32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(
+        rows.reshape(nb, block // 128, 128),
+        rows.reshape(mp, 1),
+        w8.astype(jnp.float32),
+        g.astype(jnp.float32),
+    )
+    return out[:, :n_rows_cap]
+
+
+def dense_accumulate_cm_reference(rows, w8, g, n_rows_cap):
+    """Pure-XLA reference / CPU fallback: identical accumulation order
+    per row (XLA scatter applies updates serially in operand order)."""
+    c = g.shape[0]
+    m = rows.shape[0]
+    upd = (w8[:, None, :] * g[None, :, :]).reshape(8 * c, m)
+    dense = (
+        jnp.zeros((n_rows_cap, 8 * c), jnp.float32)
+        .at[rows]
+        .add(upd.T.astype(jnp.float32))
+    )
+    return dense.T

@@ -1,0 +1,257 @@
+"""Channel-major sorted-stream field engine.
+
+The round-3 sorted engine (git history: ``ops/sorted_stream.py``,
+removed in round 4) proved the
+reorganization — ONE stable sort by packed-grid row, streaming window
+serve, shading in sorted order, permutation-free backward — but kept
+the per-sample data in channel-last ``[M, C]`` layouts, which idle
+>90% of the VPU lanes for every elementwise op (PROFILE_r03.md §3,
+measured 309 ms/step vs the lattice engine's 150).  This module is the
+prescribed channel-major rewrite: every per-sample quantity is a 1-D
+``[M]`` array or a ``[C, M]`` channel-major matrix (full lanes), the
+pack is ``[8C, Rp]``, and both Pallas kernels work in the MXU-native
+orientation (``window_gather_cm`` forward, ``scatter_combine_cm``
+backward with in-kernel outer-product updates).
+
+Row space: linearized over padded base coords with a **lane-aligned z
+stride** ``zp = roundup(Z + 2, 128)`` so the pack build's
+``[8C, X+2, Y+2, zp] -> [8C, Rp]`` collapse is a free reshape (no
+relayout).  Rows in the z padding are zero and unreferenced.
+
+Reference role: pass 1+2 of the CUDA render
+(`/root/reference/model/nerf.py:943-1075` over
+`model/cuda/render_utils_kernel.cu:196-242` + ``F.grid_sample``); the
+layout discipline itself has no reference counterpart — it is the
+TPU answer to CUDA's per-thread scalar freedom.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fgs_nerf_tpu.ops.scatter import _use_pallas_combine
+
+
+def z_stride(z: int) -> int:
+    return ((z + 2) + 127) // 128 * 128
+
+
+def padded_rows_cm(grid_shape3) -> int:
+    x, y, z = grid_shape3
+    return (x + 2) * (y + 2) * z_stride(z)
+
+
+def rows_fracs_cm(ix, iy, iz, grid_shape3):
+    """Row ids, fractional offsets and in-range mask from per-axis
+    index-space coordinate arrays (any matching shape).
+
+    Operates on separate per-axis arrays (lattice ``[N, S]`` layouts
+    stay full-lane) and uses the lane-aligned z stride.
+    """
+    x, y, z = grid_shape3
+    zp = z_stride(z)
+    i0x = jnp.floor(ix)
+    i0y = jnp.floor(iy)
+    i0z = jnp.floor(iz)
+    fx = ix - i0x
+    fy = iy - i0y
+    fz = iz - i0z
+    ok = (
+        (i0x >= -1.0) & (i0x < x) & (i0y >= -1.0) & (i0y < y)
+        & (i0z >= -1.0) & (i0z < z)
+    )
+    bx = jnp.clip(i0x, -1.0, x - 1.0) + 1.0
+    by = jnp.clip(i0y, -1.0, y - 1.0) + 1.0
+    bz = jnp.clip(i0z, -1.0, z - 1.0) + 1.0
+    rows = ((bx * (y + 2) + by) * zp + bz).astype(jnp.int32)
+    return rows, (fx, fy, fz), ok
+
+
+def rows_to_coords_cm(rows: jnp.ndarray, grid_shape3):
+    """Inverse linearization -> padded base coords (3 x [M] f32)."""
+    x, y, z = grid_shape3
+    zp = z_stride(z)
+    b2 = rows % zp
+    r = rows // zp
+    b1 = r % (y + 2)
+    b0 = r // (y + 2)
+    return (
+        b0.astype(jnp.float32), b1.astype(jnp.float32), b2.astype(jnp.float32)
+    )
+
+
+def corner_weights_cm(fx, fy, fz) -> jnp.ndarray:
+    """Trilinear corner weights [8, M], corner k = dx*4 + dy*2 + dz."""
+    parts = []
+    for dx in (0, 1):
+        wx = fx if dx else 1.0 - fx
+        for dy in (0, 1):
+            wy = fy if dy else 1.0 - fy
+            for dz in (0, 1):
+                wz = fz if dz else 1.0 - fz
+                parts.append(wx * wy * wz)
+    return jnp.stack(parts, axis=0)
+
+
+def build_cell_pack_cm(field_cm: jnp.ndarray, rp: int) -> jnp.ndarray:
+    """Channel-major cell pack: column (row of padded base b) holds the
+    8 corner values of base cell b, corner k at sublanes [k*C, (k+1)*C);
+    out-of-grid corners are exact zeros.  Zero-padded to ``rp`` columns.
+
+    field_cm: [C, X, Y, Z] -> [8C, rp] (bf16 on TPU, f32 elsewhere).
+    """
+    c, x, y, z = field_cm.shape
+    zp = z_stride(z)
+    if _use_pallas_combine():
+        field_cm = field_cm.astype(jnp.bfloat16)
+    gp = jnp.pad(field_cm, ((0, 0), (1, 2), (1, 2), (1, zp - z)))
+    parts = [
+        jax.lax.slice(
+            gp, (0, dx, dy, dz), (c, dx + x + 2, dy + y + 2, dz + zp)
+        )
+        for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)
+    ]
+    pack = jnp.concatenate(parts, axis=0).reshape(8 * c, -1)
+    r = pack.shape[1]
+    return jnp.pad(pack, ((0, 0), (0, rp - r)))
+
+
+def _rp_for(grid_shape3, bw: int) -> int:
+    r = padded_rows_cm(grid_shape3)
+    return ((r + 1 + bw - 1) // bw + 1) * bw
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def pack_gather_sorted_cm(field_cm, keys_sorted, w8_sorted, bs=1024, bw=512):
+    """Trilinear serve of a row-sorted sample stream, channel-major.
+
+    field_cm: [C, X, Y, Z]; keys_sorted: [M] non-decreasing rows in the
+    lane-strided row space (sentinel >= padded_rows_cm gathers zeros);
+    w8_sorted: [8, M] corner weights.  Returns [C, M] f32.
+
+    Custom VJP: the field cotangent is the channel-major dense
+    accumulate (updates built in-kernel from w8 x g) + corner shifts —
+    NO permutation (cotangents arrive sorted) and no [M, 8C]
+    materialization.  Sentinel samples MUST carry zero cotangent (they
+    do: they exist only at masked lattice slots, whose alpha/rgb are
+    multiplied by a zero mask downstream).  Key / weight cotangents are
+    zero (sample positions are data).
+    """
+    return _pack_gather_cm_fwd_impl(field_cm, keys_sorted, w8_sorted, bs, bw)
+
+
+def _pack_gather_cm_fwd_impl(field_cm, keys_sorted, w8_sorted, bs, bw):
+    grid3 = field_cm.shape[1:]
+    rp = _rp_for(grid3, bw)
+    pack = build_cell_pack_cm(field_cm, rp)
+    m = keys_sorted.shape[0]
+    pad = (-m) % bs
+    if pad:
+        keys_sorted = jnp.concatenate(
+            [keys_sorted, jnp.full((pad,), rp - 1, keys_sorted.dtype)]
+        )
+        w8_sorted = jnp.pad(w8_sorted, ((0, 0), (0, pad)))
+    if _use_pallas_combine():
+        from fgs_nerf_tpu.ops.pallas.window_gather_cm import (
+            sorted_window_gather_cm_pallas,
+        )
+
+        out = sorted_window_gather_cm_pallas(
+            pack, keys_sorted, w8_sorted, bs=bs, bw=bw
+        )
+    else:
+        from fgs_nerf_tpu.ops.pallas.window_gather_cm import (
+            sorted_window_gather_cm_reference,
+        )
+
+        out = sorted_window_gather_cm_reference(pack, keys_sorted, w8_sorted)
+    return out[:, :m] if pad else out
+
+
+def _pack_gather_cm_fwd(field_cm, keys_sorted, w8_sorted, bs, bw):
+    out = _pack_gather_cm_fwd_impl(field_cm, keys_sorted, w8_sorted, bs, bw)
+    return out, (field_cm.shape, keys_sorted, w8_sorted)
+
+
+def _pack_gather_cm_bwd(bs, bw, res, g):
+    grid_shape, keys_sorted, w8_sorted = res
+    c, x, y, z = grid_shape
+    zp = z_stride(z)
+    r = padded_rows_cm((x, y, z))
+    keys_c = jnp.minimum(keys_sorted, r - 1)  # sentinels carry zero ct
+    if _use_pallas_combine():
+        from fgs_nerf_tpu.ops.pallas.scatter_combine_cm import (
+            dense_accumulate_cm_pallas,
+        )
+
+        dense = dense_accumulate_cm_pallas(keys_c, w8_sorted, g, r)
+    else:
+        from fgs_nerf_tpu.ops.pallas.scatter_combine_cm import (
+            dense_accumulate_cm_reference,
+        )
+
+        dense = dense_accumulate_cm_reference(keys_c, w8_sorted, g, r)
+    dense = dense.reshape(8, c, x + 2, y + 2, zp)
+    # contribution to node v from corner offset o comes from base v - o,
+    # i.e. padded coord v - o + 1: 8 shifted dense adds
+    dfield = jnp.zeros((c, x, y, z), jnp.float32)
+    k = 0
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                sx, sy, sz = 1 - dx, 1 - dy, 1 - dz
+                dfield = dfield + jax.lax.slice(
+                    dense, (k, 0, sx, sy, sz),
+                    (k + 1, c, sx + x, sy + y, sz + z),
+                )[0]
+                k += 1
+    return (
+        dfield,
+        np.zeros(keys_sorted.shape, jax.dtypes.float0),
+        jnp.zeros_like(w8_sorted),
+    )
+
+
+pack_gather_sorted_cm.defvjp(_pack_gather_cm_fwd, _pack_gather_cm_bwd)
+
+
+def _unsort_ch_impl(iota_sorted, vals):
+    return tuple(
+        jax.lax.sort((iota_sorted, *vals), dimension=0, num_keys=1)[1:]
+    )
+
+
+@jax.custom_vjp
+def unsort_channels(iota_sorted, keys_raymajor, vals: Tuple[jnp.ndarray, ...]):
+    """Bring sorted-domain 1-D channels back to ray-major order.
+
+    iota_sorted: [M] i32 — each sorted element's ray-major position (the
+    iota payload of the main sort); keys_raymajor: [M] i32 — the
+    ORIGINAL (unsorted) key array, whose re-sort rebuilds the exact
+    permutation in the VJP; vals: tuple of [M] f32.  Returns the tuple
+    in ray-major order.
+    """
+    return _unsort_ch_impl(iota_sorted, vals)
+
+
+def _unsort_ch_fwd(iota_sorted, keys_raymajor, vals):
+    return _unsort_ch_impl(iota_sorted, vals), (keys_raymajor,)
+
+
+def _unsort_ch_bwd(res, g):
+    (keys_raymajor,) = res
+    g_sorted = jax.lax.sort(
+        (keys_raymajor, *g), dimension=0, num_keys=1
+    )[1:]
+    return (
+        np.zeros(keys_raymajor.shape, jax.dtypes.float0),
+        np.zeros(keys_raymajor.shape, jax.dtypes.float0),
+        tuple(g_sorted),
+    )
+
+
+unsort_channels.defvjp(_unsort_ch_fwd, _unsort_ch_bwd)

@@ -117,6 +117,36 @@ def sobel_gradient_kernels(voxel_size: float) -> np.ndarray:
     return out.astype(np.float32)
 
 
+def _sdf_gradient_axes(s: jnp.ndarray, voxel_size: float, mode: str):
+    """(gx, gy, gz) volumes for a [X, Y, Z] SDF — shared by the
+    channel-last and channel-major stackings."""
+    if mode == "interpolate":
+        gx = jnp.zeros_like(s)
+        gy = jnp.zeros_like(s)
+        gz = jnp.zeros_like(s)
+        inv = 1.0 / (2.0 * voxel_size)
+        gx = gx.at[1:-1, :, :].set((s[2:, :, :] - s[:-2, :, :]) * inv)
+        gy = gy.at[:, 1:-1, :].set((s[:, 2:, :] - s[:, :-2, :]) * inv)
+        gz = gz.at[:, :, 1:-1].set((s[:, :, 2:] - s[:, :, :-2]) * inv)
+        return gx, gy, gz
+    if mode == "raw":
+        gx = jnp.zeros_like(s)
+        gy = jnp.zeros_like(s)
+        gz = jnp.zeros_like(s)
+        inv = 1.0 / voxel_size
+        gx = gx.at[:-1, :, :].set((s[1:, :, :] - s[:-1, :, :]) * inv)
+        gy = gy.at[:, :-1, :].set((s[:, 1:, :] - s[:, :-1, :]) * inv)
+        gz = gz.at[:, :, :-1].set((s[:, :, 1:] - s[:, :, :-1]) * inv)
+        return gx, gy, gz
+    if mode == "grad_conv":
+        ks = sobel_gradient_kernels(voxel_size)
+        return tuple(
+            _conv3d_same_edge(s[..., None], jnp.asarray(ks[a]))[..., 0]
+            for a in range(3)
+        )
+    raise NotImplementedError(mode)
+
+
 def sdf_gradient(
     sdf: jnp.ndarray, voxel_size: float, mode: str = "interpolate"
 ) -> jnp.ndarray:
@@ -129,29 +159,15 @@ def sdf_gradient(
     * ``raw``: forward differences / voxel_size, zero at the last plane.
     * ``grad_conv``: the Sobel-like fixed convolution (replicate pad).
     """
-    s = sdf[..., 0]  # [X, Y, Z]
-    if mode == "interpolate":
-        gx = jnp.zeros_like(s)
-        gy = jnp.zeros_like(s)
-        gz = jnp.zeros_like(s)
-        inv = 1.0 / (2.0 * voxel_size)
-        gx = gx.at[1:-1, :, :].set((s[2:, :, :] - s[:-2, :, :]) * inv)
-        gy = gy.at[:, 1:-1, :].set((s[:, 2:, :] - s[:, :-2, :]) * inv)
-        gz = gz.at[:, :, 1:-1].set((s[:, :, 2:] - s[:, :, :-2]) * inv)
-        return jnp.stack([gx, gy, gz], axis=-1)
-    if mode == "raw":
-        gx = jnp.zeros_like(s)
-        gy = jnp.zeros_like(s)
-        gz = jnp.zeros_like(s)
-        inv = 1.0 / voxel_size
-        gx = gx.at[:-1, :, :].set((s[1:, :, :] - s[:-1, :, :]) * inv)
-        gy = gy.at[:, :-1, :].set((s[:, 1:, :] - s[:, :-1, :]) * inv)
-        gz = gz.at[:, :, :-1].set((s[:, :, 1:] - s[:, :, :-1]) * inv)
-        return jnp.stack([gx, gy, gz], axis=-1)
-    if mode == "grad_conv":
-        ks = sobel_gradient_kernels(voxel_size)
-        outs = [
-            _conv3d_same_edge(sdf, jnp.asarray(ks[a]))[..., 0] for a in range(3)
-        ]
-        return jnp.stack(outs, axis=-1)
-    raise NotImplementedError(mode)
+    return jnp.stack(
+        _sdf_gradient_axes(sdf[..., 0], voxel_size, mode), axis=-1
+    )
+
+
+def sdf_gradient_cm(
+    sdf3: jnp.ndarray, voxel_size: float, mode: str = "interpolate"
+) -> jnp.ndarray:
+    """``sdf_gradient`` in channel-major layout: [X, Y, Z] ->
+    [3, X, Y, Z] (identical per-axis volumes, different stacking —
+    the sorted engine's field layout)."""
+    return jnp.stack(_sdf_gradient_axes(sdf3, voxel_size, mode), axis=0)

@@ -45,6 +45,16 @@ def maybe_distributed_init() -> None:
     if addr:
         # this JAX's initialize() only auto-detects managed clusters
         # (SLURM / TPU pods); pass the generic env contract explicitly
+        missing = [
+            k for k in ("JAX_NUM_PROCESSES", "JAX_PROCESS_ID")
+            if k not in os.environ
+        ]
+        if missing:
+            raise ValueError(
+                "JAX_COORDINATOR_ADDRESS is set but "
+                f"{', '.join(missing)} is missing — the generic "
+                "multi-host contract needs all three env vars"
+            )
         jax.distributed.initialize(
             coordinator_address=addr,
             num_processes=int(os.environ["JAX_NUM_PROCESSES"]),

@@ -63,7 +63,17 @@ def compute_losses(
     if w.weight_rgbper > 0:
         # per-point color supervision on the shaded selection
         # (`model/nerf_training.py:311-314`): sum_pts w * |rgb - target|^2 / N
-        diff = jnp.sum((render["sel_rgb"] - target[:, None, :]) ** 2, axis=-1)
+        if "sel_rgb_ch" in render:
+            # channel-major engine: rgb as three [N, S] planes (full
+            # lanes) instead of a [N, S, 3] stack
+            diff = sum(
+                (ch - target[:, a:a + 1]) ** 2
+                for a, ch in enumerate(render["sel_rgb_ch"])
+            )
+        else:
+            diff = jnp.sum(
+                (render["sel_rgb"] - target[:, None, :]) ** 2, axis=-1
+            )
         rgbper = jnp.sum(diff * jax.lax.stop_gradient(render["sel_weights"])) / n_rays
         losses["rgbper"] = rgbper
         loss = loss + w.weight_rgbper * rgbper

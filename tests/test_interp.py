@@ -236,7 +236,7 @@ def test_trilinear_sample_packed_world_coords(rng):
 
 
 def test_packed_gather_bf16_conv_branch(rng, monkeypatch):
-    """Pin the TPU-only bf16 im2col-conv pack branch from CI (ADVICE r2):
+    """Pin the TPU-only bf16 slice-concat pack branch from CI (ADVICE r2):
     force ``_use_pallas_pack`` on and assert ``_cellpack_gather_impl``
     matches the exact fp32 path within bf16 rounding, and that the
     custom VJP (which is the same exact sort-scatter either way) is

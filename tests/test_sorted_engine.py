@@ -1,10 +1,11 @@
-"""Parity tests: the sorted-stream coarse engine vs the lattice engine.
+"""Parity tests: the channel-major sorted-stream engine vs the lattice
+engine.
 
-The sorted engine (`ops/sorted_stream.py`,
+The sorted engine (`ops/sorted_cm.py`,
 `models/sdf_voxel.forward_coarse_sorted`) must reproduce the lattice
 engine's dense-shading (shade_k == 0) renders and parameter gradients —
-the reorganization is a pure execution-order change on CPU (fp32
-throughout), so tolerances are fp-roundoff-scale.
+the reorganization is a pure execution-order / layout change on CPU
+(fp32 throughout), so tolerances are fp-roundoff-scale.
 """
 import dataclasses
 
@@ -15,14 +16,13 @@ import pytest
 
 from fgs_nerf_tpu.core.box import SceneBox
 from fgs_nerf_tpu.models import sdf_voxel as M
-from fgs_nerf_tpu.ops.sorted_stream import (
-    build_cell_pack,
-    corner_weights,
-    pack_gather_sorted,
-    pack_rows_fracs,
-    padded_rows,
-    sort_stream,
-    unsort_to_raymajor,
+from fgs_nerf_tpu.ops.sorted_cm import (
+    build_cell_pack_cm,
+    corner_weights_cm,
+    pack_gather_sorted_cm,
+    padded_rows_cm,
+    rows_fracs_cm,
+    z_stride,
 )
 
 
@@ -52,10 +52,27 @@ def _setup(stage="coarse", n=33, seed=0, **kw):
     return cfg, box, params, args
 
 
-def test_pack_gather_matches_dense_trilinear():
-    """pack_gather_sorted == trilinear_sample on in-range points and
+def _sorted_inputs(shape3, idx):
+    """Sort a query set by row key; returns (keys_s, iota_s, w8_s, keys)."""
+    m = idx.shape[0]
+    rows, (fx, fy, fz), ok = rows_fracs_cm(
+        idx[:, 0], idx[:, 1], idx[:, 2], shape3
+    )
+    r = padded_rows_cm(shape3)
+    keys = jnp.where(ok, rows, r).astype(jnp.int32)
+    iota = jnp.arange(m, dtype=jnp.int32)
+    keys_s, iota_s, fx_s, fy_s, fz_s = jax.lax.sort(
+        (keys, iota, fx, fy, fz), dimension=0, num_keys=1
+    )
+    w8_s = corner_weights_cm(fx_s, fy_s, fz_s)
+    return keys_s, iota_s, w8_s, keys
+
+
+def test_pack_gather_cm_matches_dense_trilinear():
+    """pack_gather_sorted_cm == trilinear_sample on in-range points and
     zero-padding semantics outside."""
     from fgs_nerf_tpu.ops.interp import trilinear_sample_index
+    from fgs_nerf_tpu.ops.sorted_cm import unsort_channels
 
     rng = np.random.default_rng(2)
     shape = (7, 6, 5, 3)
@@ -64,24 +81,23 @@ def test_pack_gather_matches_dense_trilinear():
         rng.uniform(-1.8, np.array(shape[:3]) + 0.8, size=(400, 3))
         .astype(np.float32)
     )
-    rows, fracs, ok = pack_rows_fracs(idx, shape[:3])
-    r = padded_rows(shape[:3])
-    keys = jnp.where(ok, rows, r).astype(jnp.int32)
-    iota = jnp.arange(400, dtype=jnp.int32)
-    keys_s, iota_s, fx, fy, fz = sort_stream(
-        keys, iota, fracs[:, 0], fracs[:, 1], fracs[:, 2]
+    keys_s, iota_s, w8_s, keys = _sorted_inputs(shape[:3], idx)
+    grid_cm = jnp.transpose(grid, (3, 0, 1, 2))
+    out_s = pack_gather_sorted_cm(grid_cm, keys_s, w8_s)  # [C, M]
+    out_ch = unsort_channels(
+        iota_s, keys, tuple(out_s[c] for c in range(shape[-1]))
     )
-    w8 = corner_weights(jnp.stack([fx, fy, fz], -1))
-    out_s = pack_gather_sorted(grid, keys_s, w8)
-    out = unsort_to_raymajor(iota_s, keys, out_s)
+    out = jnp.stack(out_ch, axis=-1)
     ref = trilinear_sample_index(grid, idx)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
 
 
-def test_pack_gather_grid_gradient_matches():
-    """VJP of the sorted serve == VJP of the dense trilinear gather."""
+def test_pack_gather_cm_grid_gradient_matches():
+    """VJP of the channel-major serve == VJP of the dense trilinear
+    gather (transposed)."""
     from fgs_nerf_tpu.ops.interp import trilinear_sample_index
+    from fgs_nerf_tpu.ops.sorted_cm import unsort_channels
 
     rng = np.random.default_rng(3)
     shape = (6, 5, 7, 2)
@@ -91,27 +107,24 @@ def test_pack_gather_grid_gradient_matches():
         .astype(np.float32)
     )
     ct = jnp.asarray(rng.normal(size=(300, shape[-1])).astype(np.float32))
+    keys_s, iota_s, w8_s, keys = _sorted_inputs(shape[:3], idx)
 
-    rows, fracs, ok = pack_rows_fracs(idx, shape[:3])
-    r = padded_rows(shape[:3])
-    keys = jnp.where(ok, rows, r).astype(jnp.int32)
-    iota = jnp.arange(300, dtype=jnp.int32)
-    keys_s, iota_s, fx, fy, fz = sort_stream(
-        keys, iota, fracs[:, 0], fracs[:, 1], fracs[:, 2]
-    )
-    w8 = corner_weights(jnp.stack([fx, fy, fz], -1))
-
-    def f_sorted(g):
-        out_s = pack_gather_sorted(g, keys_s, w8)
-        return jnp.sum(unsort_to_raymajor(iota_s, keys, out_s) * ct)
+    def f_sorted(g_cm):
+        out_s = pack_gather_sorted_cm(g_cm, keys_s, w8_s)
+        out_ch = unsort_channels(
+            iota_s, keys, tuple(out_s[c] for c in range(shape[-1]))
+        )
+        return jnp.sum(jnp.stack(out_ch, axis=-1) * ct)
 
     def f_ref(g):
         return jnp.sum(trilinear_sample_index(g, idx) * ct)
 
-    g1 = jax.grad(f_sorted)(grid)
+    g1 = jax.grad(f_sorted)(jnp.transpose(grid, (3, 0, 1, 2)))
     g2 = jax.grad(f_ref)(grid)
-    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
-                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(g1), np.asarray(jnp.transpose(g2, (3, 0, 1, 2))),
+        rtol=1e-4, atol=1e-5,
+    )
 
 
 @pytest.mark.parametrize("stage", ["geometry_searching", "coarse"])
@@ -196,19 +209,23 @@ def test_sorted_engine_gradients_match():
         )
 
 
-def test_build_cell_pack_zero_padding():
+def test_build_cell_pack_cm_zero_padding():
     rng = np.random.default_rng(4)
     shape = (4, 3, 5, 2)
     grid = jnp.asarray(rng.normal(size=shape).astype(np.float32))
-    rp = 512
-    pack = build_cell_pack(grid, rp)
-    assert pack.shape == (rp, 16)
+    grid_cm = jnp.transpose(grid, (3, 0, 1, 2))
+    rp = 4096
+    pack = build_cell_pack_cm(grid_cm, rp)
+    assert pack.shape == (16, rp)
     x, y, z, c = shape
-    r = padded_rows(shape[:3])
+    zp = z_stride(z)
+    assert zp == 128
+    r = padded_rows_cm(shape[:3])
     pk = np.asarray(pack)
-    # row of base (-1,-1,-1): only corner (1,1,1) (= channel group 7) is
-    # in-grid
-    assert np.all(pk[0, :14] == 0)
-    np.testing.assert_allclose(pk[0, 14:16], np.asarray(grid[0, 0, 0]))
-    # all rows past the content region are zero
-    assert np.all(pk[r:] == 0)
+    # column of base (-1,-1,-1) (= row 0): only corner (1,1,1)
+    # (channel group 7) is in-grid
+    assert np.all(pk[:14, 0] == 0)
+    np.testing.assert_allclose(pk[14:16, 0], np.asarray(grid[0, 0, 0]))
+    # z-padding columns and everything past the content region are zero
+    assert np.all(pk[:, r:] == 0)
+    assert np.all(pk[:, z + 2:zp] == 0)
