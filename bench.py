@@ -29,6 +29,11 @@ N_ITERS = 20
 def _parse_args():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument(
+        "--engine", type=str, default=None, choices=["lattice", "sorted"],
+        help="override the render engine (default: the bench config's "
+        "choice)",
+    )
+    p.add_argument(
         "--mesh", type=str, default="none",
         help="scaling-efficiency mode: 'dp=N' (or 'dp=N,sp=M') measures "
         "the sharded step and reports rays/s plus rays/s/device — run "
@@ -76,6 +81,8 @@ def main():
         s_ratio=50.0, s_start=0.2, fast_color_thres=1e-4, shade_k=256,
         sample_k=288, shade_remat=False,
     )
+    if args.engine:
+        cfg = dataclasses.replace(cfg, engine=args.engine)
     box = SceneBox.create(xyz_min, xyz_max)
     params = M.init_params(jax.random.PRNGKey(0), cfg)
 

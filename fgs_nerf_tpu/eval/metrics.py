@@ -88,15 +88,24 @@ _LPIPS_WARNED = set()
 
 
 def rgb_lpips(np_gt, np_im, net_name="alex", device="cpu") -> Optional[float]:
-    """LPIPS if the `lpips` package + weights are available
-    (`model/evaluation.py:59-74`); None otherwise (zero-egress gate).
+    """LPIPS (`model/evaluation.py:59-74`); None when unavailable.
 
-    Only genuine unavailability (missing package / unfetchable weights)
-    is gated — anything else (a typo, a shape bug) propagates.  The
-    gate warns once per net so an eval log always states why the metric
-    is absent.
+    Resolution order: (1) the torch-free native implementation when
+    ``FGS_LPIPS_WEIGHTS`` points at an exported weights npz
+    (`eval/lpips_native.py`, alex only — the zero-egress path);
+    (2) the `lpips` package when installed with fetchable weights;
+    (3) None with a once-per-net warning so an eval log always states
+    why the metric is absent.  Only genuine unavailability is gated —
+    anything else (a typo, a shape bug) propagates.
     """
     import logging
+
+    if net_name == "alex":
+        from fgs_nerf_tpu.eval.lpips_native import lpips_native
+
+        val = lpips_native(np_gt, np_im)
+        if val is not None:
+            return val
 
     try:
         if net_name not in _LPIPS_CACHE:

@@ -41,7 +41,9 @@ def _dense_cm_kernel(rows_ref, rowsc_ref, w8_ref, g_ref, out_ref,
     c8 = acc.shape[0]
     c = c8 // 8
     block = acc.shape[1] // 2
-    cap = out_ref.shape[1]
+    # out_ref is [c8, cap // block, block]: flushes index the MIDDLE dim
+    # (dynamic minor-dim DMA offsets crash the Mosaic compiler)
+    cap = out_ref.shape[1] * block
     sub = block // 128
 
     @pl.when(b == 0)
@@ -64,7 +66,7 @@ def _dense_cm_kernel(rows_ref, rowsc_ref, w8_ref, g_ref, out_ref,
 
     def flush(a0):
         dma = pltpu.make_async_copy(
-            acc.at[:, pl.ds(0, block)], out_ref.at[:, pl.ds(a0, block)], sem
+            acc.at[:, pl.ds(0, block)], out_ref.at[:, a0 // block], sem
         )
         dma.start()
         dma.wait()
@@ -149,7 +151,7 @@ def dense_accumulate_cm_pallas(
     out = pl.pallas_call(
         _dense_cm_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((c8, cap), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((c8, cap // block, block), jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(
@@ -158,7 +160,9 @@ def dense_accumulate_cm_pallas(
         w8.astype(jnp.float32),
         g.astype(jnp.float32),
     )
-    return out[:, :n_rows_cap]
+    # [c8, cap//B, B] -> [c8, cap]: merges the two minor dims, minor
+    # stays minor and B is lane-aligned, so the reshape is layout-free
+    return out.reshape(c8, cap)[:, :n_rows_cap]
 
 
 def dense_accumulate_cm_reference(rows, w8, g, n_rows_cap):

@@ -33,10 +33,10 @@ def _make_kernel(bw: int, c: int, rp: int, slow_path: bool):
     def kernel(wblk_ref, f0_ref, rows_ref, w8_ref, pack_ref,
                win0_ref, win1_ref, out_ref, scratch, sem):
         b = pl.program_id(0)
-        bs = rows_ref.shape[1]
+        bs = rows_ref.shape[2]
         base = wblk_ref[b] * bw
 
-        rows = rows_ref[0]  # [bs] int32, non-decreasing
+        rows = rows_ref[0, 0]  # [bs] int32, non-decreasing
         local = rows - base
         iota_w = jax.lax.broadcasted_iota(jnp.int32, (bw, bs), 0)
         oh0 = (iota_w == local[None, :]).astype(jnp.bfloat16)
@@ -124,7 +124,10 @@ def sorted_window_gather_cm_pallas(
         num_scalar_prefetch=2,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, bs), lambda b, *pref: (b, 0)),
+            # (1, 1, bs): the trailing two block dims equal the array
+            # dims, satisfying the Mosaic (8, 128)-divisibility rule
+            # while keeping the sample dim on lanes
+            pl.BlockSpec((1, 1, bs), lambda b, *pref: (b, 0, 0)),
             pl.BlockSpec((8, bs), lambda b, *pref: (0, b)),
             pl.BlockSpec(memory_space=pl.ANY),  # whole pack (slow path)
             pl.BlockSpec((c8, bw), lambda b, wref, fref: (0, wref[b])),
@@ -141,7 +144,7 @@ def sorted_window_gather_cm_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((c, m), jnp.float32),
         interpret=interpret,
-    )(wblk, f0, rows.reshape(nb, bs), w8, pack, pack, pack)
+    )(wblk, f0, rows.reshape(nb, 1, bs), w8, pack, pack, pack)
 
 
 def sorted_window_gather_cm_reference(pack, rows, w8):

@@ -20,6 +20,24 @@ import jax
 import jax.numpy as jnp
 
 
+def _to_host(leaf) -> np.ndarray:
+    """Fetch one array to host memory, multi-host safe.
+
+    ``jax.device_get`` crashes on arrays that are not process-
+    addressable (sp-sharded grids on a multi-host mesh: each process
+    holds only its x-slabs).  Those are gathered with a collective
+    allgather — every process ends up with the full array, so the
+    single-writer logic below can run anywhere.  Fully-addressable
+    arrays (the single-host case, and all replicated leaves) take the
+    direct path with no collective.
+    """
+    if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(leaf, tiled=True))
+    return np.asarray(jax.device_get(leaf))
+
+
 def _flatten(prefix: str, tree: Any, out: Dict[str, np.ndarray]):
     if isinstance(tree, dict):
         for k, v in tree.items():
@@ -54,13 +72,18 @@ def save_checkpoint(
     lrs: Optional[Dict[str, float]] = None,
 ) -> None:
     flat: Dict[str, np.ndarray] = {}
-    _flatten("params", jax.device_get(params), flat)
+    # _to_host runs a collective allgather for non-addressable leaves,
+    # so on multi-host EVERY process must reach this point (the
+    # single-writer gate comes after the gathers)
+    _flatten("params", jax.tree.map(_to_host, params), flat)
     if opt_state is not None:
-        _flatten("opt/exp_avg", jax.device_get(opt_state.exp_avg), flat)
-        _flatten("opt/exp_avg_sq", jax.device_get(opt_state.exp_avg_sq), flat)
+        _flatten("opt/exp_avg", jax.tree.map(_to_host, opt_state.exp_avg), flat)
+        _flatten(
+            "opt/exp_avg_sq", jax.tree.map(_to_host, opt_state.exp_avg_sq), flat
+        )
         flat["opt/step"] = np.asarray(opt_state.step)
     if sdf_mask is not None:
-        flat["artifacts/sdf_mask"] = np.asarray(sdf_mask)
+        flat["artifacts/sdf_mask"] = _to_host(sdf_mask)
     meta = {
         "global_step": int(global_step),
         "model_kwargs": model_kwargs or {},
@@ -72,11 +95,19 @@ def save_checkpoint(
     flat["meta_json"] = np.frombuffer(
         json.dumps(meta, default=_json_default).encode(), dtype=np.uint8
     )
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        np.savez_compressed(f, **flat)
-    os.replace(tmp, path)
+    # multi-host: one writer (a shared filesystem would otherwise see
+    # concurrent writes to the same path); everyone else waits at the
+    # barrier so no process reads a half-written file afterwards
+    if jax.process_index() == 0:
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez_compressed(f, **flat)
+        os.replace(tmp, path)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"ckpt_save:{path}")
 
 
 def _json_default(o):

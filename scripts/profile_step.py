@@ -48,6 +48,11 @@ def build_step():
         s_ratio=50.0, s_start=0.2, fast_color_thres=1e-4, shade_k=256,
         sample_k=288,
     )
+    import dataclasses as _dc
+    eng = os.environ.get("FGS_PROFILE_ENGINE")
+    if eng:
+        # the sorted engine shades densely (shade_k unused)
+        cfg = _dc.replace(cfg, engine=eng)
     box = SceneBox.create(xyz_min, xyz_max)
     params = M.init_params(jax.random.PRNGKey(0), cfg)
     loss_w = LossWeights(

@@ -62,3 +62,40 @@ def test_poses_bounds_shape(tmp_path):
     np.testing.assert_allclose(pose[:, 4], [480, 640, 500])
     near, far = rows[0, 15:]
     assert 0 < near <= far
+
+
+def test_run_colmap_cli_smoke(tmp_path):
+    """The capture->dataset CLI end to end on the synthetic sparse
+    fixture (`/root/reference/run_colmap.py:13-46` surface): one command
+    takes an image dir + reconstruction to poses_bounds.npy +
+    cameras_sphere.npz."""
+    import runpy
+    import sys
+
+    root = tmp_path / "capture"
+    sparse = str(root / "sparse" / "0")
+    write_fixture(sparse)
+    img_dir = root / "images"
+    os.makedirs(img_dir, exist_ok=True)
+    import imageio.v2 as imageio
+
+    imageio.imwrite(
+        str(img_dir / "0.png"),
+        np.zeros((8, 8, 3), np.uint8),
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    argv_save = sys.argv
+    sys.argv = ["run_colmap.py", "--custom_dataset_path", str(root),
+                "--skip_masks"]
+    try:
+        with np.testing.assert_raises(SystemExit) as cm:
+            runpy.run_path(os.path.join(repo, "run_colmap.py"),
+                           run_name="__main__")
+        assert cm.exception.code == 0
+    finally:
+        sys.argv = argv_save
+    pb = np.load(str(root / "poses_bounds.npy"))
+    assert pb.shape[1] == 17
+    cs = np.load(str(root / "cameras_sphere.npz"))
+    assert any(k.startswith("world_mat_") for k in cs.files)
+    assert any(k.startswith("scale_mat_") for k in cs.files)
