@@ -719,6 +719,8 @@ def forward_coarse(
         "sel_rgb": rgb,
         "sel_live": sel_live,
         "overflow": overflow | sample_overflow,
+        "overflow_sample": sample_overflow,
+        "overflow_shade": overflow,
         "s_val": s_val,
     }
 
@@ -877,6 +879,8 @@ def forward_fine(
         "sel_rgb": rgb,
         "sel_live": sel_live,
         "overflow": overflow | sample_overflow,
+        "overflow_sample": sample_overflow,
+        "overflow_shade": overflow,
         "s_val": s_val,
     }
 
@@ -1180,5 +1184,7 @@ def forward_coarse_sorted(
         "sel_rgb_ch": rgb_ch,
         "sel_live": live,
         "overflow": sample_overflow,
+        "overflow_sample": sample_overflow,
+        "overflow_shade": jnp.zeros((n,), bool),
         "s_val": s_val,
     }

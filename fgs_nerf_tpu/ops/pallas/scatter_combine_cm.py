@@ -41,9 +41,12 @@ def _dense_cm_kernel(rows_ref, rowsc_ref, w8_ref, g_ref, out_ref,
     c8 = acc.shape[0]
     c = c8 // 8
     block = acc.shape[1] // 2
-    # out_ref is [c8, cap // block, block]: flushes index the MIDDLE dim
-    # (dynamic minor-dim DMA offsets crash the Mosaic compiler)
-    cap = out_ref.shape[1] * block
+    # out_ref is [cap // block, c8, block]: flushes index the LEADING
+    # dim with the trailing dims whole — the one DMA-destination form
+    # the Mosaic compiler accepts here (dynamic offsets on the minor
+    # dim, and even static middle-dim indices, crash it; bisected on
+    # hardware, see tests/test_pallas_interpret.py docstring)
+    cap = out_ref.shape[0] * block
     sub = block // 128
 
     @pl.when(b == 0)
@@ -66,7 +69,7 @@ def _dense_cm_kernel(rows_ref, rowsc_ref, w8_ref, g_ref, out_ref,
 
     def flush(a0):
         dma = pltpu.make_async_copy(
-            acc.at[:, pl.ds(0, block)], out_ref.at[:, a0 // block], sem
+            acc.at[:, pl.ds(0, block)], out_ref.at[a0 // block], sem
         )
         dma.start()
         dma.wait()
@@ -151,7 +154,7 @@ def dense_accumulate_cm_pallas(
     out = pl.pallas_call(
         _dense_cm_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((c8, cap // block, block), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((cap // block, c8, block), jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(
@@ -160,9 +163,10 @@ def dense_accumulate_cm_pallas(
         w8.astype(jnp.float32),
         g.astype(jnp.float32),
     )
-    # [c8, cap//B, B] -> [c8, cap]: merges the two minor dims, minor
-    # stays minor and B is lane-aligned, so the reshape is layout-free
-    return out.reshape(c8, cap)[:, :n_rows_cap]
+    # [cap//B, c8, B] -> [c8, cap]: a major-dim permutation (the
+    # (sublane, lane) tiling is untouched) followed by a free merge —
+    # one tile-granular bandwidth-bound copy
+    return jnp.transpose(out, (1, 0, 2)).reshape(c8, cap)[:, :n_rows_cap]
 
 
 def dense_accumulate_cm_reference(rows, w8, g, n_rows_cap):

@@ -139,10 +139,26 @@ def make_train_step(
             "w_nonzero_frac": jnp.mean((ws > 0).astype(jnp.float32)),
             "mask_frac": jnp.sum(render["live"]) / jnp.maximum(valid_ct, 1),
             "overflow_frac": jnp.mean(render["overflow"].astype(jnp.float32)),
+            "overflow_sample_frac": jnp.mean(
+                render["overflow_sample"].astype(jnp.float32)
+            ),
+            "overflow_shade_frac": jnp.mean(
+                render["overflow_shade"].astype(jnp.float32)
+            ),
         }
         return new_params, new_opt, metrics
 
     return jax.jit(step_fn, donate_argnums=(0, 1))
+
+
+def _next_capacity(k: int, s_max: int) -> int:
+    """The next capacity rung: 1.5x rounded up to the sublane multiple,
+    capped at the lattice depth (where overflow is impossible).  The
+    ladder from any k to s_max is O(log s_max) rungs, so escalation
+    retraces are bounded like pg_scale's."""
+    if k <= 0 or k >= s_max:
+        return k
+    return min(s_max, ((k + k // 2 + 7) // 8) * 8)
 
 
 @dataclasses.dataclass
@@ -502,14 +518,41 @@ def train_stage(
                 # Dropped samples silently bias the composite: the
                 # top-K compaction's exactness claim holds only at
                 # zero overflow (`models/sdf_voxel.py:_compact_valid`).
-                log.warning(
-                    f"[{stage}] capacity overflow on "
-                    f"{100 * means['overflow_frac']:.2f}% of rays "
-                    f"(sample_k={cfg_m.sample_k}, shade_k={cfg_m.shade_k}, "
-                    f"s_max={cfg_m.s_max}): samples are being dropped and "
-                    f"accuracy degrades — raise sample_k/shade_k (or set "
-                    f"them to -1 for exact auto-capacity)"
-                )
+                # Auto-escalation (default on): rebuild the step at the
+                # next capacity rung — a bounded retrace, like pg_scale
+                # (the reference never drops samples: its ragged sampler
+                # is exact, `render_utils_kernel.cu:144-242`).
+                if cfg_train.get("capacity_auto_escalate", True):
+                    upd = {}
+                    if means.get("overflow_sample_frac", 0.0) > 0.0:
+                        upd["sample_k"] = _next_capacity(
+                            cfg_m.sample_k, cfg_m.s_max
+                        )
+                    if means.get("overflow_shade_frac", 0.0) > 0.0:
+                        upd["shade_k"] = _next_capacity(
+                            cfg_m.shade_k, cfg_m.s_max
+                        )
+                    upd = {
+                        k_: v_ for k_, v_ in upd.items()
+                        if v_ != getattr(cfg_m, k_)
+                    }
+                    if upd:
+                        cfg_m = dataclasses.replace(cfg_m, **upd)
+                        log.warning(
+                            f"[{stage}] capacity overflow on "
+                            f"{100 * means['overflow_frac']:.2f}% of rays — "
+                            f"auto-escalating {upd} (s_max={cfg_m.s_max}; "
+                            f"one retrace)"
+                        )
+                if not cfg_train.get("capacity_auto_escalate", True):
+                    log.warning(
+                        f"[{stage}] capacity overflow on "
+                        f"{100 * means['overflow_frac']:.2f}% of rays "
+                        f"(sample_k={cfg_m.sample_k}, shade_k={cfg_m.shade_k}, "
+                        f"s_max={cfg_m.s_max}): samples are being dropped and "
+                        f"accuracy degrades — raise sample_k/shade_k (or set "
+                        f"them to -1 for exact auto-capacity)"
+                    )
 
         # periodic visual validation (`model/nerf_training.py:482-503`):
         # one random test view rendered with full PSNR/SSIM logging.

