@@ -961,21 +961,26 @@ def _shade_coarse_cm(params, cfg: SDFModelConfig, rays_xyz, vd, normal, k0):
              jnp.stack(normal, axis=0)]
     if cfg.use_viewdir:
         feats.append(enc(vd, freq_bank(cfg.viewbase_pe)))
-    if cfg.mlp_bf16:
-        feats = [f.astype(jnp.bfloat16) for f in feats]
-    x = jnp.concatenate(feats, axis=0)  # [Cin, M]
     return jax.nn.sigmoid(
-        _mlp_apply_cm(params["refnet"], x, bf16=cfg.mlp_bf16)
+        _mlp_apply_cm(params["refnet"], feats, bf16=cfg.mlp_bf16)
     )  # [3, M] f32
 
 
-def _mlp_apply_cm(mlp_params, x, bf16: bool):
-    """``models.mlp.mlp_apply`` for channel-major activations [C, M]:
-    ``w.T @ x + b[:, None]`` per layer (same weights, transposed
-    application — bitwise-equal matmuls up to dot-order)."""
+def _mlp_apply_cm(mlp_params, blocks, bf16: bool):
+    """``models.mlp.mlp_apply`` for channel-major activations: feature
+    row blocks are concatenated on the sublane axis and each layer runs
+    ``w.T @ x + b[:, None]`` (same weights, transposed application —
+    bitwise-equal matmuls up to dot-order).
+
+    Round-4 measurement: splitting the first layer into per-block dots
+    (sum of W_i^T @ x_i, no concat) was 7k rays/s SLOWER at the bench —
+    the tiny contraction dims (12/33/3/9) waste the MXU more than the
+    concat costs.
+    """
     n = len(mlp_params) // 2
     if bf16:
-        x = x.astype(jnp.bfloat16)
+        blocks = [blk.astype(jnp.bfloat16) for blk in blocks]
+    x = jnp.concatenate(blocks, axis=0)
     for i in range(n):
         w, b = mlp_params[f"w{i}"], mlp_params[f"b{i}"]
         last = i == n - 1

@@ -11,18 +11,28 @@ Differences from the row-major kernel:
   output cotangent).  The row-major kernel streams the materialized
   ``[M, 8C]`` product from HBM (~600 MB bf16 at the bench shape); here
   the kernel reads ``w8 [8, M]`` + ``g [C, M]`` (~190 MB f32) and forms
-  the ``[8C, B]`` block product on-chip — the cotangent never exists in
-  HBM in outer-product form.
-* **Full-window serve.**  The accumulator is ``[8C, 2B]`` channel-major
-  and every serve iteration covers the whole 2B-row window with ONE
-  native ``upd[8C, B] @ onehot[B, 2B]`` dot — no dynamic vector offset,
-  so no sublane-alignment quantization.
+  the block products on-chip — the update tensor never exists in HBM.
+* **Half-pack row space.**  Mirroring ``window_gather_cm``, only the 4
+  ``(dx, dy)`` corner groups have channels; the dz pair deposits into
+  rows r (dz = 0) and r + 1 (dz = 1) of the same group — two shifted
+  one-hots:
+
+      contrib[4C, 2B] = upd0 @ onehot(loc) + upd1 @ onehot(loc + 1)
+
+* **Full-window serve.**  The accumulator is ``[4C, 2B]`` channel-major
+  and every serve iteration covers the whole window with native dots —
+  no dynamic vector offsets (a sample is servable when ``loc + 1`` is
+  still inside, hence the ``2B - 1`` bounds).
 * Rows are passed twice: lane-major ``[sub, 128]`` for the masked-min
   window computation, column ``[B, 1]`` so the one-hot compare puts the
   sample dim on sublanes without an in-kernel relayout.
+* Flushes DMA whole ``[4C, B]`` blocks to the LEADING dim of a
+  ``[cap//B, 4C, B]`` output — the one DMA-destination form the Mosaic
+  compiler accepts here (dynamic minor-dim offsets and static
+  middle-dim indices both crash it; bisected on hardware).
 
-Output is channel-major dense ``[8C, cap]`` f32; every dense row is
-written exactly once (gaps flush zeros).
+Output is reassembled to channel-major dense ``[4C, cap]`` f32; every
+dense row is written exactly once (gaps flush zeros).
 """
 from __future__ import annotations
 
@@ -34,18 +44,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _dense_cm_kernel(rows_ref, rowsc_ref, w8_ref, g_ref, out_ref,
+def _dense_cm_kernel(rows_ref, rowsc_ref, w8e_ref, w8o_ref, g_ref, out_ref,
                      acc, a0_ref, sem):
     b = pl.program_id(0)
     nb = pl.num_programs(0)
-    c8 = acc.shape[0]
-    c = c8 // 8
+    c4 = acc.shape[0]
+    c = c4 // 4
     block = acc.shape[1] // 2
-    # out_ref is [cap // block, c8, block]: flushes index the LEADING
-    # dim with the trailing dims whole — the one DMA-destination form
-    # the Mosaic compiler accepts here (dynamic offsets on the minor
-    # dim, and even static middle-dim indices, crash it; bisected on
-    # hardware, see tests/test_pallas_interpret.py docstring)
     cap = out_ref.shape[0] * block
     sub = block // 128
 
@@ -62,10 +67,14 @@ def _dense_cm_kernel(rows_ref, rowsc_ref, w8_ref, g_ref, out_ref,
     rows_col = rowsc_ref[:]  # [block, 1] (same values, sample dim on sublanes)
     idx_col = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
 
-    # per-block outer-product update, built once in VMEM
-    upd = (
-        w8_ref[:][:, None, :] * g_ref[:][None, :, :]
-    ).reshape(c8, block).astype(jnp.bfloat16)
+    # per-block outer-product updates (dz = 0 / dz = 1), built in VMEM
+    g_blk = g_ref[:]
+    upd0 = (
+        w8e_ref[:][:, None, :] * g_blk[None, :, :]
+    ).reshape(c4, block).astype(jnp.bfloat16)
+    upd1 = (
+        w8o_ref[:][:, None, :] * g_blk[None, :, :]
+    ).reshape(c4, block).astype(jnp.bfloat16)
 
     def flush(a0):
         dma = pltpu.make_async_copy(
@@ -74,7 +83,7 @@ def _dense_cm_kernel(rows_ref, rowsc_ref, w8_ref, g_ref, out_ref,
         dma.start()
         dma.wait()
         acc[:, pl.ds(0, block)] = acc[:, pl.ds(block, block)]
-        acc[:, pl.ds(block, block)] = jnp.zeros((c8, block), acc.dtype)
+        acc[:, pl.ds(block, block)] = jnp.zeros((c4, block), acc.dtype)
         return a0 + block
 
     def cond(carry):
@@ -85,18 +94,24 @@ def _dense_cm_kernel(rows_ref, rowsc_ref, w8_ref, g_ref, out_ref,
         f, a0 = carry
         unserved = idx2 >= f
         w = jnp.min(jnp.where(unserved, rows2, 2**30))
-        # slide until the min unserved row fits the 2B window at a0
-        a0 = jax.lax.while_loop(lambda a: w - a >= 2 * block, flush, a0)
-        serve_col = (idx_col >= f) & (rows_col < a0 + 2 * block)
-        loc = jnp.where(serve_col, rows_col - a0, -1)  # [block, 1]
+        # slide until rows w and w + 1 both fit the 2B window at a0
+        a0 = jax.lax.while_loop(
+            lambda a: w - a >= 2 * block - 1, flush, a0
+        )
+        serve_col = (idx_col >= f) & (rows_col < a0 + 2 * block - 1)
+        loc = jnp.where(serve_col, rows_col - a0, -2)  # [block, 1]
         iota_r = jax.lax.broadcasted_iota(
             jnp.int32, (block, 2 * block), 1
         )
-        onehot = (iota_r == loc).astype(jnp.bfloat16)  # [B(s), 2B(r)]
+        oh0 = (iota_r == loc).astype(jnp.bfloat16)       # [B(s), 2B(r)]
+        oh1 = (iota_r == loc + 1).astype(jnp.bfloat16)
         contrib = jax.lax.dot_general(
-            upd, onehot, (((1,), (0,)), ((), ())),
+            upd0, oh0, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [8C, 2B]
+        ) + jax.lax.dot_general(
+            upd1, oh1, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [4C, 2B]
         acc[:, :] += contrib
         # rows are sorted, so the served set is the contiguous run at f
         return f + jnp.sum(serve_col.astype(jnp.int32)), a0
@@ -114,17 +129,17 @@ def _dense_cm_kernel(rows_ref, rowsc_ref, w8_ref, g_ref, out_ref,
     jax.jit, static_argnames=("n_rows_cap", "block", "interpret")
 )
 def dense_accumulate_cm_pallas(
-    rows: jnp.ndarray,  # [M] s32 non-decreasing dense-row ids, < n_rows_cap
+    rows: jnp.ndarray,  # [M] s32 non-decreasing, rows + 1 < n_rows_cap
     w8: jnp.ndarray,    # [8, M] corner weights (zero => no deposit)
     g: jnp.ndarray,     # [C, M] output cotangent
     n_rows_cap: int,
     block: int = 512,
     interpret: bool = False,  # run the kernel body on CPU (CI parity tests)
 ) -> jnp.ndarray:
-    """D[:, row] += vec(w8[:, s] x g[:, s]); returns [8C, cap] f32
-    channel-major (channel k*C + c holds corner k of channel c)."""
+    """D[k2*C+c, row + dz] += w8[2 k2 + dz, s] * g[c, s]; returns
+    [4C, cap] f32 channel-major (half-pack row space)."""
     c = g.shape[0]
-    c8 = 8 * c
+    c4 = 4 * c
     m = rows.shape[0]
     pad = (-m) % block
     if pad:
@@ -141,12 +156,13 @@ def dense_accumulate_cm_pallas(
         in_specs=[
             pl.BlockSpec((1, block // 128, 128), lambda b: (b, 0, 0)),
             pl.BlockSpec((block, 1), lambda b: (b, 0)),
-            pl.BlockSpec((8, block), lambda b: (0, b)),
+            pl.BlockSpec((4, block), lambda b: (0, b)),
+            pl.BlockSpec((4, block), lambda b: (0, b)),
             pl.BlockSpec((c, block), lambda b: (0, b)),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((c8, 2 * block), jnp.float32),
+            pltpu.VMEM((c4, 2 * block), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
@@ -154,19 +170,20 @@ def dense_accumulate_cm_pallas(
     out = pl.pallas_call(
         _dense_cm_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((cap // block, c8, block), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((cap // block, c4, block), jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(
         rows.reshape(nb, block // 128, 128),
         rows.reshape(mp, 1),
-        w8.astype(jnp.float32),
+        w8[0::2].astype(jnp.float32),
+        w8[1::2].astype(jnp.float32),
         g.astype(jnp.float32),
     )
-    # [cap//B, c8, B] -> [c8, cap]: a major-dim permutation (the
+    # [cap//B, c4, B] -> [c4, cap]: a major-dim permutation (the
     # (sublane, lane) tiling is untouched) followed by a free merge —
     # one tile-granular bandwidth-bound copy
-    return jnp.transpose(out, (1, 0, 2)).reshape(c8, cap)[:, :n_rows_cap]
+    return jnp.transpose(out, (1, 0, 2)).reshape(c4, cap)[:, :n_rows_cap]
 
 
 def dense_accumulate_cm_reference(rows, w8, g, n_rows_cap):
@@ -174,10 +191,13 @@ def dense_accumulate_cm_reference(rows, w8, g, n_rows_cap):
     per row (XLA scatter applies updates serially in operand order)."""
     c = g.shape[0]
     m = rows.shape[0]
-    upd = (w8[:, None, :] * g[None, :, :]).reshape(8 * c, m)
+    upd0 = (w8[0::2][:, None, :] * g[None, :, :]).reshape(4 * c, m)
+    upd1 = (w8[1::2][:, None, :] * g[None, :, :]).reshape(4 * c, m)
     dense = (
-        jnp.zeros((n_rows_cap, 8 * c), jnp.float32)
+        jnp.zeros((n_rows_cap, 4 * c), jnp.float32)
         .at[rows]
-        .add(upd.T.astype(jnp.float32))
+        .add(upd0.T.astype(jnp.float32))
+        .at[rows + 1]
+        .add(upd1.T.astype(jnp.float32))
     )
     return dense.T

@@ -1,21 +1,27 @@
-"""Pallas TPU kernel: channel-major sorted streaming window gather.
+"""Pallas TPU kernel: channel-major sorted streaming window gather
+over the HALF cell pack.
 
 The round-3 sorted engine kept the sample stream in channel-last
 ``[M, C]`` layouts and lost ~180 ms/step to small-lane elementwise work
-(PROFILE_r03.md §3).  This is the prescribed channel-major rewrite: the
-pack lives as ``[8C, Rp]`` (channels on sublanes, rows on lanes), the
-serve emits ``[C, M]``, and every dot is in the MXU-native
-``A[m, k] @ B[k, n]`` orientation:
+(PROFILE_r03.md §3).  This is the channel-major rewrite with the
+half-pack refinement: the pack stores only the 4 ``(dx, dy)`` corner
+groups at z-offset 0 (``[4C, Rp]``, channels on sublanes, rows on
+lanes) — in the lane-strided row space the z neighbor is the NEXT ROW,
+so the dz = 1 corners are served by a second one-hot shifted by one
+(``local + 1``) against the same window:
 
-    g[8C, bs] = win[8C, bw] @ onehot[bw, bs]
-    out[C, bs] = sum_k g[k] * w8[k]          (free reshape [8, C, bs])
+    g0[4C, bs] = win[4C, bw] @ onehot(local)      # dz = 0 corners
+    g1[4C, bs] = win[4C, bw] @ onehot(local + 1)  # dz = 1 corners
+    out[C, bs] = sum_k2 g0[k2] * w8[2 k2] + g1[k2] * w8[2 k2 + 1]
 
-With the render field's C = 16 the pack's 8C = 128 fills the sublane
-tile exactly.  Structure (scalar-prefetched window starts, double
-bufferred window blocks, precomputed slow-path predicate, DMA slide
-loop for occupancy gaps) mirrors ``window_gather.py``; see that module
-and `/root/reference/model/nerf.py:639-672` (the CUDA `F.grid_sample`
-role this replaces).
+Every dot is MXU-native ``A[m, k] @ B[k, n]``.  Halving the pack also
+halves the window DMA traffic and removes the lane-misaligned z slices
+from the pack build (the measured ~10 ms relayout of the full pack).
+A sample is fully servable only when ``local + 1`` is still inside the
+window, so the serve predicate uses ``2 bw - 1``; window starts are
+scalar-prefetched, loads double-buffered, occupancy gaps completed by
+an in-body DMA slide loop.  See `/root/reference/model/nerf.py:639-672`
+(the CUDA `F.grid_sample` role this replaces).
 """
 from __future__ import annotations
 
@@ -28,8 +34,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _make_kernel(bw: int, c: int, rp: int, slow_path: bool):
-    c8 = 8 * c
-
     def kernel(wblk_ref, f0_ref, rows_ref, w8_ref, pack_ref,
                win0_ref, win1_ref, out_ref, scratch, sem):
         b = pl.program_id(0)
@@ -37,29 +41,45 @@ def _make_kernel(bw: int, c: int, rp: int, slow_path: bool):
         base = wblk_ref[b] * bw
 
         rows = rows_ref[0, 0]  # [bs] int32, non-decreasing
-        local = rows - base
-        iota_w = jax.lax.broadcasted_iota(jnp.int32, (bw, bs), 0)
-        oh0 = (iota_w == local[None, :]).astype(jnp.bfloat16)
-        oh1 = (iota_w == (local[None, :] - bw)).astype(jnp.bfloat16)
-        g = jax.lax.dot_general(
-            win0_ref[:], oh0, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + jax.lax.dot_general(
-            win1_ref[:], oh1, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [8C, bs]
+        # full service needs local + 1 in-window too; rows past that
+        # are masked OUT of the fast dots (the slow path would
+        # otherwise double-count their dz = 0 half)
+        local_raw = rows - base
+        local = jnp.where(local_raw < 2 * bw - 1, local_raw, -2)
+
+        def serve_pair(win_a, win_b, loc):
+            """dz0 + dz1 gathers of ``loc`` from the (win_a, win_b)
+            double window -> ([4C, bs], [4C, bs])."""
+            iota_w = jax.lax.broadcasted_iota(jnp.int32, (bw, bs), 0)
+            outs = []
+            for d in (0, 1):
+                ld = loc + d
+                oh_a = (iota_w == ld[None, :]).astype(jnp.bfloat16)
+                oh_b = (iota_w == (ld[None, :] - bw)).astype(jnp.bfloat16)
+                outs.append(
+                    jax.lax.dot_general(
+                        win_a, oh_a, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) + jax.lax.dot_general(
+                        win_b, oh_b, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                )
+            return outs
+
+        g0, g1 = serve_pair(win0_ref[:], win1_ref[:], local)
 
         if slow_path:
             def run_slow():
                 def cond(carry):
-                    f, _ = carry
+                    f, _, _ = carry
                     return f < bs
 
                 def body(carry):
-                    f, acc = carry
+                    f, a0, a1 = carry
                     idx = jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)[0]
                     unserved = idx >= f
-                    w = jnp.min(jnp.where(unserved, rows, rp))
+                    w = jnp.min(jnp.where(unserved, rows, rp - 2))
                     qb = jnp.minimum(w // bw, rp // bw - 2)
                     dma = pltpu.make_async_copy(
                         pack_ref.at[
@@ -70,28 +90,44 @@ def _make_kernel(bw: int, c: int, rp: int, slow_path: bool):
                     dma.start()
                     dma.wait()
                     local2 = rows - qb * bw
-                    serve = unserved & (local2 >= 0) & (local2 < 2 * bw)
-                    loc = jnp.where(serve, local2, -1)
+                    # full service needs local2 + 1 in-window too
+                    serve = unserved & (local2 >= 0) & (local2 < 2 * bw - 1)
+                    loc = jnp.where(serve, local2, -2)
                     iota2 = jax.lax.broadcasted_iota(
                         jnp.int32, (2 * bw, bs), 0)
-                    oh = (iota2 == loc[None, :]).astype(jnp.bfloat16)
-                    contrib = jax.lax.dot_general(
-                        scratch[:], oh, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
+                    contribs = []
+                    for d in (0, 1):
+                        oh = (iota2 == (loc + d)[None, :]).astype(
+                            jnp.bfloat16
+                        )
+                        contribs.append(jax.lax.dot_general(
+                            scratch[:], oh, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ))
+                    return (
+                        f + jnp.sum(serve.astype(jnp.int32)),
+                        a0 + contribs[0], a1 + contribs[1],
                     )
-                    return f + jnp.sum(serve.astype(jnp.int32)), acc + contrib
 
-                return jax.lax.while_loop(cond, body, (f0_ref[b], g))[1]
+                return jax.lax.while_loop(
+                    cond, body, (f0_ref[b], g0, g1)
+                )[1:]
 
             # the predicate is a PREFETCHED scalar: the fast path never
             # waits on a vector->scalar reduction
-            g = jax.lax.cond(f0_ref[b] < bs, run_slow, lambda: g)
+            g0_, g1_ = jax.lax.cond(
+                f0_ref[b] < bs, run_slow, lambda: (g0, g1)
+            )
+        else:
+            g0_, g1_ = g0, g1
 
-        g3 = g.reshape(8, c, bs)
+        g0_3 = g0_.reshape(4, c, bs)
+        g1_3 = g1_.reshape(4, c, bs)
         w8 = w8_ref[:]  # [8, bs]
         out = jnp.zeros((c, bs), jnp.float32)
-        for k in range(8):
-            out = out + g3[k] * w8[k:k + 1, :]
+        for k2 in range(4):
+            out = out + g0_3[k2] * w8[2 * k2:2 * k2 + 1, :]
+            out = out + g1_3[k2] * w8[2 * k2 + 1:2 * k2 + 2, :]
         out_ref[:] = out
 
     return kernel
@@ -101,24 +137,25 @@ def _make_kernel(bw: int, c: int, rp: int, slow_path: bool):
     jax.jit, static_argnames=("bs", "bw", "slow_path", "interpret")
 )
 def sorted_window_gather_cm_pallas(
-    pack: jnp.ndarray,   # [8C, Rp] bf16, Rp multiple of bw, zero column tail
-    rows: jnp.ndarray,   # [M] i32 non-decreasing; sentinels -> zero tail
+    pack: jnp.ndarray,   # [4C, Rp] bf16, Rp multiple of bw, zero column tail
+    rows: jnp.ndarray,   # [M] i32 non-decreasing, <= Rp - 2 (row + 1 is read)
     w8: jnp.ndarray,     # [8, M] f32 trilinear corner weights
     bs: int = 1024,
     bw: int = 512,
     slow_path: bool = True,
     interpret: bool = False,  # run the kernel body on CPU (CI parity tests)
 ) -> jnp.ndarray:
-    """out[:, m] = sum_k w8[k, m] * pack[k*C:(k+1)*C, rows[m]] — [C, M]."""
-    c8, rp = pack.shape
-    c = c8 // 8
+    """out[:, m] = sum_k w8[k, m] * pack[(k//2)*C:(k//2+1)*C,
+    rows[m] + (k & 1)] — [C, M] f32."""
+    c4, rp = pack.shape
+    c = c4 // 4
     m = rows.shape[0]
     assert rp % bw == 0 and m % bs == 0
     nb = m // bs
     nwb = rp // bw
     wblk = jnp.minimum(rows[::bs] // bw, nwb - 2).astype(jnp.int32)
     local = rows.reshape(nb, bs) - (wblk * bw)[:, None]
-    f0 = jnp.sum(local < 2 * bw, axis=1).astype(jnp.int32)
+    f0 = jnp.sum(local < 2 * bw - 1, axis=1).astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -130,12 +167,12 @@ def sorted_window_gather_cm_pallas(
             pl.BlockSpec((1, 1, bs), lambda b, *pref: (b, 0, 0)),
             pl.BlockSpec((8, bs), lambda b, *pref: (0, b)),
             pl.BlockSpec(memory_space=pl.ANY),  # whole pack (slow path)
-            pl.BlockSpec((c8, bw), lambda b, wref, fref: (0, wref[b])),
-            pl.BlockSpec((c8, bw), lambda b, wref, fref: (0, wref[b] + 1)),
+            pl.BlockSpec((c4, bw), lambda b, wref, fref: (0, wref[b])),
+            pl.BlockSpec((c4, bw), lambda b, wref, fref: (0, wref[b] + 1)),
         ],
         out_specs=pl.BlockSpec((c, bs), lambda b, *pref: (0, b)),
         scratch_shapes=[
-            pltpu.VMEM((c8, 2 * bw), jnp.bfloat16),
+            pltpu.VMEM((c4, 2 * bw), jnp.bfloat16),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -149,11 +186,13 @@ def sorted_window_gather_cm_pallas(
 
 def sorted_window_gather_cm_reference(pack, rows, w8):
     """Pure-XLA reference / CPU fallback: identical values."""
-    c8 = pack.shape[0]
-    c = c8 // 8
-    v = jnp.take(pack, rows, axis=1).astype(jnp.float32)  # [8C, M]
-    v8 = v.reshape(8, c, rows.shape[0])
-    out = jnp.zeros((c, rows.shape[0]), jnp.float32)
-    for k in range(8):
-        out = out + v8[k] * w8[k:k + 1, :]
+    c4 = pack.shape[0]
+    c = c4 // 4
+    m = rows.shape[0]
+    v0 = jnp.take(pack, rows, axis=1).astype(jnp.float32).reshape(4, c, m)
+    v1 = jnp.take(pack, rows + 1, axis=1).astype(jnp.float32).reshape(4, c, m)
+    out = jnp.zeros((c, m), jnp.float32)
+    for k2 in range(4):
+        out = out + v0[k2] * w8[2 * k2:2 * k2 + 1, :]
+        out = out + v1[k2] * w8[2 * k2 + 1:2 * k2 + 2, :]
     return out

@@ -37,7 +37,10 @@ from fgs_nerf_tpu.ops.scatter import _use_pallas_combine
 
 
 def z_stride(z: int) -> int:
-    return ((z + 2) + 127) // 128 * 128
+    # z + 3: padded base coords span [0, z + 1] and the dz = 1 corner of
+    # row r is served from row r + 1, so r + 1 <= z + 2 must stay inside
+    # the same (x, y) column — one guaranteed zero row past the content
+    return ((z + 3) + 127) // 128 * 128
 
 
 def padded_rows_cm(grid_shape3) -> int:
@@ -98,24 +101,30 @@ def corner_weights_cm(fx, fy, fz) -> jnp.ndarray:
 
 
 def build_cell_pack_cm(field_cm: jnp.ndarray, rp: int) -> jnp.ndarray:
-    """Channel-major cell pack: column (row of padded base b) holds the
-    8 corner values of base cell b, corner k at sublanes [k*C, (k+1)*C);
-    out-of-grid corners are exact zeros.  Zero-padded to ``rp`` columns.
+    """Channel-major HALF cell pack: column (row of padded base b)
+    holds the 4 ``(dx, dy)`` corner values of base cell b at z-offset 0,
+    group k2 = dx*2 + dy at sublanes [k2*C, (k2+1)*C); out-of-grid
+    corners are exact zeros.  Zero-padded to ``rp`` columns.
 
-    field_cm: [C, X, Y, Z] -> [8C, rp] (bf16 on TPU, f32 elsewhere).
+    The dz = 1 corners are NOT packed: in the lane-strided row space
+    the z neighbor is simply the next row, so the serve reads group k2
+    at rows r and r + 1 (two shifted one-hots against the same window).
+    This halves pack bytes AND removes the z-offset slices from the
+    build — they were the only lane-misaligned (and therefore
+    relayout-priced) part of the full 8-corner pack.
+
+    field_cm: [C, X, Y, Z] -> [4C, rp] (bf16 on TPU, f32 elsewhere).
     """
     c, x, y, z = field_cm.shape
     zp = z_stride(z)
     if _use_pallas_combine():
         field_cm = field_cm.astype(jnp.bfloat16)
-    gp = jnp.pad(field_cm, ((0, 0), (1, 2), (1, 2), (1, zp - z)))
+    gp = jnp.pad(field_cm, ((0, 0), (1, 2), (1, 2), (1, zp - z - 1)))
     parts = [
-        jax.lax.slice(
-            gp, (0, dx, dy, dz), (c, dx + x + 2, dy + y + 2, dz + zp)
-        )
-        for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)
+        jax.lax.slice(gp, (0, dx, dy, 0), (c, dx + x + 2, dy + y + 2, zp))
+        for dx in (0, 1) for dy in (0, 1)
     ]
-    pack = jnp.concatenate(parts, axis=0).reshape(8 * c, -1)
+    pack = jnp.concatenate(parts, axis=0).reshape(4 * c, -1)
     r = pack.shape[1]
     return jnp.pad(pack, ((0, 0), (0, rp - r)))
 
@@ -151,8 +160,9 @@ def _pack_gather_cm_fwd_impl(field_cm, keys_sorted, w8_sorted, bs, bw):
     m = keys_sorted.shape[0]
     pad = (-m) % bs
     if pad:
+        # rp - 2: the serve also reads row + 1, which must stay in range
         keys_sorted = jnp.concatenate(
-            [keys_sorted, jnp.full((pad,), rp - 1, keys_sorted.dtype)]
+            [keys_sorted, jnp.full((pad,), rp - 2, keys_sorted.dtype)]
         )
         w8_sorted = jnp.pad(w8_sorted, ((0, 0), (0, pad)))
     if _use_pallas_combine():
@@ -183,32 +193,32 @@ def _pack_gather_cm_bwd(bs, bw, res, g):
     zp = z_stride(z)
     r = padded_rows_cm((x, y, z))
     keys_c = jnp.minimum(keys_sorted, r - 1)  # sentinels carry zero ct
+    # the accumulate deposits group k2 at rows r (dz=0) and r+1 (dz=1);
+    # cap r + 1 so the shifted deposit of the last content row fits
     if _use_pallas_combine():
         from fgs_nerf_tpu.ops.pallas.scatter_combine_cm import (
             dense_accumulate_cm_pallas,
         )
 
-        dense = dense_accumulate_cm_pallas(keys_c, w8_sorted, g, r)
+        dense = dense_accumulate_cm_pallas(keys_c, w8_sorted, g, r + 1)
     else:
         from fgs_nerf_tpu.ops.pallas.scatter_combine_cm import (
             dense_accumulate_cm_reference,
         )
 
-        dense = dense_accumulate_cm_reference(keys_c, w8_sorted, g, r)
-    dense = dense.reshape(8, c, x + 2, y + 2, zp)
-    # contribution to node v from corner offset o comes from base v - o,
-    # i.e. padded coord v - o + 1: 8 shifted dense adds
+        dense = dense_accumulate_cm_reference(keys_c, w8_sorted, g, r + 1)
+    dense = dense[:, :r].reshape(4, c, x + 2, y + 2, zp)
+    # Node v receives corner (dx, dy, dz) of base v - (dx, dy, dz),
+    # deposited at padded row (v0+1-dx, v1+1-dy, v2+1-dz) shifted +dz in
+    # z — i.e. ALWAYS z-column v2+1: the dz pair merges in row space and
+    # only 4 shifted adds remain.
     dfield = jnp.zeros((c, x, y, z), jnp.float32)
-    k = 0
-    for dx in (0, 1):
-        for dy in (0, 1):
-            for dz in (0, 1):
-                sx, sy, sz = 1 - dx, 1 - dy, 1 - dz
-                dfield = dfield + jax.lax.slice(
-                    dense, (k, 0, sx, sy, sz),
-                    (k + 1, c, sx + x, sy + y, sz + z),
-                )[0]
-                k += 1
+    for k2, (dx, dy) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+        sx, sy = 1 - dx, 1 - dy
+        dfield = dfield + jax.lax.slice(
+            dense, (k2, 0, sx, sy, 1),
+            (k2 + 1, c, sx + x, sy + y, 1 + z),
+        )[0]
     return (
         dfield,
         np.zeros(keys_sorted.shape, jax.dtypes.float0),

@@ -187,9 +187,37 @@ def section_e(rng):
         bench(f"  sort + {k} payload cols", mk(k), keys, *cols[:k])
 
 
+def section_f(rng):
+    print("== F. channel-major feature concat variants ==")
+    m = M
+    hs = [12, 33, 33, 3, 9]   # the coarse refnet input blocks
+    hs8 = [16, 40, 40, 8, 16]  # sublane-aligned padding
+    blocks = [jnp.asarray(rng.normal(size=(h, m)).astype(np.float32))
+              .astype(jnp.bfloat16) for h in hs]
+    blocks8 = [jnp.asarray(rng.normal(size=(h, m)).astype(np.float32))
+               .astype(jnp.bfloat16) for h in hs8]
+    w = jnp.asarray(rng.normal(size=(90, 192)).astype(np.float32))
+    w8_ = jnp.asarray(rng.normal(size=(120, 192)).astype(np.float32))
+
+    def cat_mm(i, wm, *bs):
+        x = jnp.concatenate([b + jnp.bfloat16(i) for b in bs], axis=0)
+        return jax.lax.dot_general(
+            wm.astype(jnp.bfloat16), x, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    bench("  misaligned cat (12/33/33/3/9) + mm", cat_mm, w, *blocks)
+    bench("  aligned cat (16/40/40/8/16) + mm", cat_mm, w8_, *blocks8)
+
+    def cat_only(i, *bs):
+        return jnp.concatenate([b + jnp.bfloat16(i) for b in bs], axis=0)
+
+    bench("  misaligned cat only", cat_only, *blocks)
+    bench("  aligned cat only", cat_only, *blocks8)
+
+
 if __name__ == "__main__":
-    want = sys.argv[1] if len(sys.argv) > 1 else "abcde"
+    want = sys.argv[1] if len(sys.argv) > 1 else "abcdef"
     rng = np.random.default_rng(0)
     for s in want:
         {"a": section_a, "b": section_b, "c": section_c,
-         "d": section_d, "e": section_e}[s](rng)
+         "d": section_d, "e": section_e, "f": section_f}[s](rng)

@@ -29,7 +29,9 @@ C = 16
 
 
 def _pack(rng, rp):
-    pack = rng.normal(size=(8 * C, rp)).astype(np.float32)
+    # HALF pack: 4 (dx, dy) corner groups; the serve reads rows r and
+    # r + 1 (the dz pair), so the zero tail covers both
+    pack = rng.normal(size=(4 * C, rp)).astype(np.float32)
     pack[:, -BW:] = 0.0  # zero tail for sentinels
     return jnp.asarray(pack.astype(jnp.bfloat16))
 
@@ -84,7 +86,7 @@ def test_window_gather_cm_sentinels_and_boundaries():
         np.full(8, 0), np.full(8, BW - 1), np.full(8, BW),
         np.full(8, 2 * BW - 1), np.full(8, 2 * BW),
         rng.integers(0, 14 * BW, size=m - 48),
-        np.full(8, rp - 1),  # sentinel in the zero tail
+        np.full(8, rp - 2),  # sentinel in the zero tail (r + 1 is read)
     ])
     rows = jnp.asarray(np.sort(vals).astype(np.int32))
     pack = _pack(rng, rp)
@@ -102,14 +104,19 @@ def _run_accum_cm(rows, w8, g, cap, block=BS):
     got = dense_accumulate_cm_pallas(
         rows, w8, g, cap, block=block, interpret=True
     )
-    # exact model of the kernel: bf16-rounded outer-product updates,
-    # fp32 accumulation (tolerance covers reassociation only)
+    # exact model of the kernel: bf16-rounded outer-product updates
+    # (half-pack layout: dz pair deposits at rows r and r + 1), fp32
+    # accumulation (tolerance covers reassociation only)
     m = rows.shape[0]
-    upd = (
-        (w8[:, None, :] * g[None, :, :]).reshape(8 * g.shape[0], m)
-        .astype(jnp.bfloat16).astype(jnp.float32)
+    c4 = 4 * g.shape[0]
+    upd0 = ((w8[0::2][:, None, :] * g[None, :, :]).reshape(c4, m)
+            .astype(jnp.bfloat16).astype(jnp.float32))
+    upd1 = ((w8[1::2][:, None, :] * g[None, :, :]).reshape(c4, m)
+            .astype(jnp.bfloat16).astype(jnp.float32))
+    want_bf16 = (
+        jnp.zeros((cap, c4), jnp.float32)
+        .at[rows].add(upd0.T).at[rows + 1].add(upd1.T).T
     )
-    want_bf16 = jnp.zeros((cap, upd.shape[0]), jnp.float32).at[rows].add(upd.T).T
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want_bf16), rtol=1e-3, atol=1e-3
     )
@@ -128,7 +135,7 @@ def test_dense_accumulate_cm_dense_rows():
     rng = np.random.default_rng(3)
     m = 3 * BS
     cap = 4 * BS
-    rows = jnp.asarray(np.sort(rng.integers(0, cap - 1, size=m))
+    rows = jnp.asarray(np.sort(rng.integers(0, cap - 2, size=m))
                        .astype(np.int32))
     _run_accum_cm(rows, _w8(rng, m),
                   jnp.asarray(rng.normal(size=(C, m)).astype(np.float32)),
@@ -163,7 +170,7 @@ def test_dense_accumulate_cm_final_tail_zeros():
     g = jnp.asarray(rng.normal(size=(C, m)).astype(np.float32))
     got = dense_accumulate_cm_pallas(rows, w8, g, cap, block=BS,
                                      interpret=True)
-    assert np.all(np.asarray(got)[:, 16:] == 0.0)
+    assert np.all(np.asarray(got)[:, 17:] == 0.0)  # rows + 1 reach 16
     _run_accum_cm(rows, w8, g, cap)
 
 

@@ -216,16 +216,19 @@ def test_build_cell_pack_cm_zero_padding():
     grid_cm = jnp.transpose(grid, (3, 0, 1, 2))
     rp = 4096
     pack = build_cell_pack_cm(grid_cm, rp)
-    assert pack.shape == (16, rp)
     x, y, z, c = shape
+    # HALF pack: 4 (dx, dy) groups only — dz is served via row + 1
+    assert pack.shape == (4 * c, rp)
     zp = z_stride(z)
     assert zp == 128
     r = padded_rows_cm(shape[:3])
     pk = np.asarray(pack)
-    # column of base (-1,-1,-1) (= row 0): only corner (1,1,1)
-    # (channel group 7) is in-grid
-    assert np.all(pk[:14, 0] == 0)
-    np.testing.assert_allclose(pk[14:16, 0], np.asarray(grid[0, 0, 0]))
+    # column of base (-1,-1,-1) (= row 0) holds z = -1 values: all zero
+    assert np.all(pk[:, 0] == 0)
+    # its z neighbor (row 1, base z = 0): only group (dx=1, dy=1)
+    # (channels [6, 8)) is in-grid and reads grid[0, 0, 0]
+    assert np.all(pk[:6, 1] == 0)
+    np.testing.assert_allclose(pk[6:8, 1], np.asarray(grid[0, 0, 0]))
     # z-padding columns and everything past the content region are zero
     assert np.all(pk[:, r:] == 0)
     assert np.all(pk[:, z + 2:zp] == 0)
