@@ -80,6 +80,10 @@ def main():
         smooth_ksize=5, smooth_sigma=0.8,
         s_ratio=50.0, s_start=0.2, fast_color_thres=1e-4, shade_k=256,
         sample_k=288, shade_remat=False,
+        # the channel-major sorted engine is the measured coarse-stage
+        # winner (73.3k vs 55.1k rays/s lattice, round 4); --engine
+        # lattice reproduces the classic pipeline's number
+        engine="sorted",
     )
     if args.engine:
         cfg = dataclasses.replace(cfg, engine=args.engine)

@@ -585,12 +585,11 @@ def forward(
     if cfg.is_fine:
         return forward_fine(params, buffers, cfg, box, rays_o, rays_d,
                             viewdirs, s_val, near, bg, gather_fn=gather_fn)
-    if cfg.engine == "sorted":
-        if gather_fn is not None:
-            raise ValueError(
-                "the sorted engine has its own gather path; spatial "
-                "sharding (gather_fn) requires engine='lattice'"
-            )
+    if cfg.engine == "sorted" and gather_fn is None:
+        # The sorted engine owns its gather path; under spatial grid
+        # sharding (gather_fn set) the lattice pipeline below serves the
+        # sp-sharded gathers instead — engine='sorted' is a single-chip /
+        # dp-mesh fast path, documented in config/scenes.py.
         return forward_coarse_sorted(
             params, buffers, cfg, box, rays_o, rays_d, viewdirs, s_val, near, bg
         )

@@ -46,7 +46,8 @@ def build_step():
         posbase_pe=5, viewbase_pe=1, refbase_pe=5,
         smooth_ksize=5, smooth_sigma=0.8,
         s_ratio=50.0, s_start=0.2, fast_color_thres=1e-4, shade_k=256,
-        sample_k=288,
+        sample_k=288, shade_remat=False,  # = bench.py config, so the
+        # persistent compile cache is shared with bench runs
     )
     import dataclasses as _dc
     eng = os.environ.get("FGS_PROFILE_ENGINE")
