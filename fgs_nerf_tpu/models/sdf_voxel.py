@@ -333,9 +333,17 @@ def build_mask_cache(
 def mask_cache_query(
     mc: Dict[str, jnp.ndarray], xyz: jnp.ndarray, thres: float
 ) -> jnp.ndarray:
-    """Trilinear lookup >= thres (`model/nerf.py:1202-1209`)."""
+    """Trilinear lookup >= thres (`model/nerf.py:1202-1209`).
+
+    packed=True: ONE cell-pack row gather instead of 8 corner gathers —
+    on TPU the row-gather floor is per-row, so this is ~8x cheaper for
+    the in-render masked workloads (the ckpt-workload bench's dominant
+    cost, PROFILE_r04.md §6).  ``pack_worthwhile`` falls back to the
+    plain gather for small query sets automatically."""
     box = SceneBox(mc["xyz_min"], mc["xyz_max"])
-    val = trilinear_sample(mc["grid"], xyz, box)[..., 0]
+    val = trilinear_sample(
+        mc["grid"], xyz, box, packed=True
+    )[..., 0]
     return val >= thres
 
 
@@ -960,9 +968,22 @@ def _shade_coarse_cm(params, cfg: SDFModelConfig, rays_xyz, vd, normal, k0):
              jnp.stack(normal, axis=0)]
     if cfg.use_viewdir:
         feats.append(enc(vd, freq_bank(cfg.viewbase_pe)))
-    return jax.nn.sigmoid(
-        _mlp_apply_cm(params["refnet"], feats, bf16=cfg.mlp_bf16)
-    )  # [3, M] f32
+    n_w = len(params["refnet"]) // 2
+    widths_ok = all(
+        params["refnet"][f"w{i}"].shape[1] % 8 == 0 for i in range(n_w - 1)
+    )
+    if cfg.mlp_bf16 and widths_ok and feats[0].shape[-1] % 1024 == 0:
+        # fused VMEM-resident MLP: no [Cin, M] concat, no [W, M] hidden
+        # activations in HBM (ops/pallas/fused_mlp_cm.py — measured
+        # ~20 ms of the bench step in the XLA layer-by-layer form)
+        from fgs_nerf_tpu.ops.pallas.fused_mlp_cm import fused_mlp_cm
+
+        weights = [params["refnet"][f"w{i}"] for i in range(n_w)]
+        biases = [params["refnet"][f"b{i}"] for i in range(n_w)]
+        out = fused_mlp_cm(tuple(feats), weights, biases, 1024)
+    else:
+        out = _mlp_apply_cm(params["refnet"], feats, bf16=cfg.mlp_bf16)
+    return jax.nn.sigmoid(out)  # [3, M] f32
 
 
 def _mlp_apply_cm(mlp_params, blocks, bf16: bool):

@@ -74,9 +74,15 @@ def smooth_grid(grid: jnp.ndarray, ksize: int, sigma: float) -> jnp.ndarray:
     # (sum of the separable 3-D kernel == g1.sum()^3)
     g1 = (g1 / g1.sum()).astype(np.float32)
     out = grid
+    squeeze = grid.ndim == 4 and grid.shape[-1] == 1
+    if squeeze:
+        # a trailing 1-channel dim puts ONE value per 128-lane tile;
+        # the squeezed [X, Y, Z] layout runs the shift-adds at full
+        # width (measured 4.7 -> ~1 ms for the 115^3 bench smoothing)
+        out = out[..., 0]
     for axis in range(3):
         out = _conv1d_axis_edge(out, g1, axis)
-    return out
+    return out[..., None] if squeeze else out
 
 
 _BASE_KERNEL = np.asarray(
