@@ -77,6 +77,9 @@ def test_trainer_warns_on_overflow(tmp_path, caplog):
         geometry_searching_model=dict(
             num_voxels=16**3, num_voxels_base=16**3, shade_k=2,
             fast_color_thres=0.0,
+            # the sorted engine shades densely (shade_k unused); this
+            # test targets the lattice top-K capacity machinery
+            engine="lattice",
         ),
     )
     cfg = Cfg(deep_update(dict(load_config("shiny_blender")), tiny))
@@ -149,6 +152,9 @@ def test_capacity_auto_escalation_reaches_zero_overflow(tmp_path):
         geometry_searching_model=dict(
             num_voxels=14**3, num_voxels_base=14**3, shade_k=8,
             sample_k=8, fast_color_thres=0.0,
+            # lattice engine: exercises BOTH capacity ladders (the
+            # sorted engine shades densely, so shade_k never overflows)
+            engine="lattice",
         ),
     )
     cfg = Cfg(deep_update(dict(load_config("shiny_blender")), tiny))
