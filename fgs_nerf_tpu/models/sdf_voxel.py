@@ -186,6 +186,16 @@ def make_model_config(
     if sp_multiple > 1:
         x, y, z = world_size
         world_size = (x + (-x) % sp_multiple, y, z)
+    if kwargs.get("engine") == "sorted":
+        # pack alignment: (X+2)(Y+2) a multiple of 4 makes the sorted
+        # engine's row space a flush-block multiple, so the backward
+        # accumulate's combine view is a layout-free reshape (saves a
+        # ~5.7 ms/step slice copy at the bench grid).  An admissible
+        # resolution rounding, like sp_multiple (adds <= 3 x-planes).
+        x, y, z = world_size
+        while ((x + 2) * (y + 2)) % 4:
+            x += 1
+        world_size = (x, y, z)
     _, voxel_size_base = grid_resolution(xyz_min, xyz_max, num_voxels_base)
     s_max = max_samples_per_ray(world_size, stepsize)
     # Capacity auto-derivation: -1 means "exact from grid geometry" —

@@ -192,22 +192,26 @@ def _pack_gather_cm_bwd(bs, bw, res, g):
     c, x, y, z = grid_shape
     zp = z_stride(z)
     r = padded_rows_cm((x, y, z))
-    keys_c = jnp.minimum(keys_sorted, r - 1)  # sentinels carry zero ct
-    # the accumulate deposits group k2 at rows r (dz=0) and r+1 (dz=1);
-    # cap r + 1 so the shifted deposit of the last content row fits
+    # Sentinels clamp to r - 2 so their (zero) dz-pair deposits at
+    # r - 2 / r - 1 stay INSIDE the r-row space — the accumulate then
+    # produces exactly r columns and, when r is a flush-block multiple
+    # (the make_model_config pack alignment), the combine view below is
+    # a layout-free reshape instead of a ~5.7 ms slice copy.  Safe:
+    # the largest real content row is r - zp + (z + 1) < r - 2.
+    keys_c = jnp.minimum(keys_sorted, r - 2)
     if _use_pallas_combine():
         from fgs_nerf_tpu.ops.pallas.scatter_combine_cm import (
             dense_accumulate_cm_pallas,
         )
 
-        dense = dense_accumulate_cm_pallas(keys_c, w8_sorted, g, r + 1)
+        dense = dense_accumulate_cm_pallas(keys_c, w8_sorted, g, r)
     else:
         from fgs_nerf_tpu.ops.pallas.scatter_combine_cm import (
             dense_accumulate_cm_reference,
         )
 
-        dense = dense_accumulate_cm_reference(keys_c, w8_sorted, g, r + 1)
-    dense = dense[:, :r].reshape(4, c, x + 2, y + 2, zp)
+        dense = dense_accumulate_cm_reference(keys_c, w8_sorted, g, r)
+    dense = dense.reshape(4, c, x + 2, y + 2, zp)
     # Node v receives corner (dx, dy, dz) of base v - (dx, dy, dz),
     # deposited at padded row (v0+1-dx, v1+1-dy, v2+1-dz) shifted +dz in
     # z — i.e. ALWAYS z-column v2+1: the dz pair merges in row space and
