@@ -962,36 +962,47 @@ def _shade_coarse_cm(params, cfg: SDFModelConfig, rays_xyz, vd, normal, k0):
     encoding, and the row order below matches the channel-last concat
     order (so the SAME refnet weights apply).
     """
-    pos_f = freq_bank(cfg.posbase_pe)
-    ref_f = freq_bank(cfg.refbase_pe)
-
-    def enc(parts, freqs):
-        x3 = jnp.stack(parts, axis=0)  # [3, M]
-        xf = (x3[:, None, :] * freqs[None, :, None]).reshape(-1, x3.shape[-1])
-        return jnp.concatenate([x3, jnp.sin(xf), jnp.cos(xf)], axis=0)
-
     nx, ny, nz = normal
     vx, vy, vz = vd
     dot2 = 2.0 * (vx * nx + vy * ny + vz * nz)
     refl = (vx - dot2 * nx, vy - dot2 * ny, vz - dot2 * nz)
-    feats = [k0, enc(rays_xyz, pos_f), enc(refl, ref_f),
-             jnp.stack(normal, axis=0)]
-    if cfg.use_viewdir:
-        feats.append(enc(vd, freq_bank(cfg.viewbase_pe)))
+    m = k0.shape[-1]
     n_w = len(params["refnet"]) // 2
     widths_ok = all(
         params["refnet"][f"w{i}"].shape[1] % 8 == 0 for i in range(n_w - 1)
     )
-    if cfg.mlp_bf16 and widths_ok and feats[0].shape[-1] % 1024 == 0:
-        # fused VMEM-resident MLP: no [Cin, M] concat, no [W, M] hidden
-        # activations in HBM (ops/pallas/fused_mlp_cm.py — measured
-        # ~20 ms of the bench step in the XLA layer-by-layer form)
-        from fgs_nerf_tpu.ops.pallas.fused_mlp_cm import fused_mlp_cm
+    if cfg.mlp_bf16 and widths_ok and m % 1024 == 0:
+        # fully fused shading head (ops/pallas/fused_mlp_cm.py): sincos
+        # encodings computed IN KERNEL from the raw 24-row inputs, all
+        # hidden activations in VMEM — the XLA layer-by-layer form was
+        # HBM-bound (~20 ms/step at the bench; encoded-feature streams
+        # and the input concat another ~12)
+        from fgs_nerf_tpu.ops.pallas.fused_mlp_cm import fused_shade_cm
 
         weights = [params["refnet"][f"w{i}"] for i in range(n_w)]
         biases = [params["refnet"][f"b{i}"] for i in range(n_w)]
-        out = fused_mlp_cm(tuple(feats), weights, biases, 1024)
+        out = fused_shade_cm(
+            k0, jnp.stack(rays_xyz, axis=0), jnp.stack(refl, axis=0),
+            jnp.stack(normal, axis=0),
+            jnp.stack(vd, axis=0) if cfg.use_viewdir else None,
+            weights, biases,
+            cfg.posbase_pe, cfg.refbase_pe, cfg.viewbase_pe, 1024,
+        )
     else:
+        pos_f = freq_bank(cfg.posbase_pe)
+        ref_f = freq_bank(cfg.refbase_pe)
+
+        def enc(parts, freqs):
+            x3 = jnp.stack(parts, axis=0)  # [3, M]
+            xf = (
+                x3[:, None, :] * freqs[None, :, None]
+            ).reshape(-1, x3.shape[-1])
+            return jnp.concatenate([x3, jnp.sin(xf), jnp.cos(xf)], axis=0)
+
+        feats = [k0, enc(rays_xyz, pos_f), enc(refl, ref_f),
+                 jnp.stack(normal, axis=0)]
+        if cfg.use_viewdir:
+            feats.append(enc(vd, freq_bank(cfg.viewbase_pe)))
         out = _mlp_apply_cm(params["refnet"], feats, bf16=cfg.mlp_bf16)
     return jax.nn.sigmoid(out)  # [3, M] f32
 

@@ -126,3 +126,97 @@ def test_reference_matches_plain_mlp_bf16():
     # them to bf16 first) — bf16-scale agreement
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-2, atol=1e-2)
+
+
+def test_fused_shade_fwd_kernel_interpret():
+    """The fully fused shading head (encodings in kernel) vs its
+    reference, fwd values exact."""
+    from fgs_nerf_tpu.ops.pallas.fused_mlp_cm import (
+        _shade_layout, fused_shade_cm_fwd_pallas, fused_shade_cm_reference,
+    )
+
+    rng = np.random.default_rng(4)
+    m = 2 * BS
+    pos_pe, ref_pe, view_pe = 3, 2, 1
+    k0 = jnp.asarray(rng.normal(size=(6, m)).astype(np.float32))
+    xyz = jnp.asarray(rng.uniform(size=(3, m)).astype(np.float32))
+    refl = jnp.asarray(rng.normal(size=(3, m)).astype(np.float32))
+    normal = jnp.asarray(rng.normal(size=(3, m)).astype(np.float32))
+    vd = jnp.asarray(rng.normal(size=(3, m)).astype(np.float32))
+    rows = _shade_layout(6, pos_pe, ref_pe, view_pe, True)
+    cin = sum(rows)
+    dims = (cin, 32, 32, 3)
+    weights = [
+        jnp.asarray(rng.normal(size=(i, o)).astype(np.float32) / np.sqrt(i))
+        for i, o in zip(dims[:-1], dims[1:])
+    ]
+    biases = [jnp.asarray(rng.normal(size=(o,)).astype(np.float32) * 0.1)
+              for o in dims[1:]]
+    got = fused_shade_cm_fwd_pallas(
+        k0, xyz, refl, normal, vd, weights, biases,
+        pos_pe, ref_pe, view_pe, bs=BS, interpret=True,
+    )
+    want = fused_shade_cm_reference(
+        k0, xyz, refl, normal, vd, weights, biases, pos_pe, ref_pe, view_pe
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_shade_bwd_kernel_interpret():
+    """Backward kernel (incl. in-kernel encoding cotangent contraction)
+    vs autodiff through the reference."""
+    from fgs_nerf_tpu.ops.pallas.fused_mlp_cm import (
+        _shade_layout, fused_shade_cm_bwd_pallas, fused_shade_cm_reference,
+    )
+
+    rng = np.random.default_rng(5)
+    m = 2 * BS
+    pos_pe, ref_pe, view_pe = 3, 2, 1
+    k0 = jnp.asarray(rng.normal(size=(6, m)).astype(np.float32))
+    xyz = jnp.asarray(rng.uniform(size=(3, m)).astype(np.float32))
+    refl = jnp.asarray(rng.normal(size=(3, m)).astype(np.float32))
+    normal = jnp.asarray(rng.normal(size=(3, m)).astype(np.float32))
+    vd = jnp.asarray(rng.normal(size=(3, m)).astype(np.float32))
+    rows = _shade_layout(6, pos_pe, ref_pe, view_pe, True)
+    cin = sum(rows)
+    dims = (cin, 32, 32, 3)
+    weights = [
+        jnp.asarray(rng.normal(size=(i, o)).astype(np.float32) / np.sqrt(i))
+        for i, o in zip(dims[:-1], dims[1:])
+    ]
+    biases = [jnp.asarray(rng.normal(size=(o,)).astype(np.float32) * 0.1)
+              for o in dims[1:]]
+    g = jnp.asarray(rng.normal(size=(3, m)).astype(np.float32))
+
+    d_ins, dws, dbs = fused_shade_cm_bwd_pallas(
+        k0, xyz, refl, normal, vd, weights, biases, g,
+        pos_pe, ref_pe, view_pe, bs=BS, interpret=True,
+    )
+    _, vjp = jax.vjp(
+        lambda a, b_, c_, d_, e_, w, bi: fused_shade_cm_reference(
+            a, b_, c_, d_, e_, w, bi, pos_pe, ref_pe, view_pe
+        ),
+        k0, xyz, refl, normal, vd, weights, biases,
+    )
+    refs = vjp(g)
+    for got, want, name in zip(
+        d_ins, refs[:5], ("k0", "xyz", "refl", "normal", "vd")
+    ):
+        scale = max(float(np.abs(np.asarray(want)).max()), 1e-3)
+        np.testing.assert_allclose(
+            np.asarray(got) / scale, np.asarray(want) / scale,
+            rtol=2e-2, atol=2e-2, err_msg=name,
+        )
+    for dw, dw_ref in zip(dws, refs[5]):
+        scale = max(float(np.abs(np.asarray(dw_ref)).max()), 1e-3)
+        np.testing.assert_allclose(
+            np.asarray(dw) / scale, np.asarray(dw_ref) / scale,
+            rtol=2e-2, atol=2e-2,
+        )
+    for db, db_ref in zip(dbs, refs[6]):
+        scale = max(float(np.abs(np.asarray(db_ref)).max()), 1e-3)
+        np.testing.assert_allclose(
+            np.asarray(db) / scale, np.asarray(db_ref) / scale,
+            rtol=2e-2, atol=2e-2,
+        )
