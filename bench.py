@@ -34,6 +34,13 @@ def _parse_args():
         "choice)",
     )
     p.add_argument(
+        "--stage", type=str, default="coarse", choices=["coarse", "fine"],
+        help="workload: 'coarse' (the driver's primary metric; also "
+        "emits the ckpt-workload and fine-stage variants on stderr) or "
+        "'fine' only (256^3 grid, hierarchical taps, rgbnet->refnet, "
+        "per config/shiny_blender.py:181-236)",
+    )
+    p.add_argument(
         "--mesh", type=str, default="none",
         help="scaling-efficiency mode: 'dp=N' (or 'dp=N,sp=M') measures "
         "the sharded step and reports rays/s plus rays/s/device — run "
@@ -44,6 +51,25 @@ def _parse_args():
         "driver's single-chip benchmark.",
     )
     return p.parse_args()
+
+
+def _time_step(step, params, opt_state, buffers, batch, s_val, lrs, tv_on,
+               n_warmup=N_WARMUP, n_iters=N_ITERS):
+    """Warm up, then time the jitted step; returns (seconds/step, ...state)."""
+    import jax
+
+    for _ in range(n_warmup):
+        params, opt_state, metrics = step(
+            params, opt_state, buffers, *batch, s_val, lrs, tv_on
+        )
+    jax.block_until_ready(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        params, opt_state, metrics = step(
+            params, opt_state, buffers, *batch, s_val, lrs, tv_on
+        )
+    jax.block_until_ready(metrics["loss"])
+    return (time.perf_counter() - t0) / n_iters
 
 
 def main():
@@ -63,6 +89,10 @@ def main():
         )
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
+
+    if args.stage == "fine":
+        _fine_workload(args.engine, to_stderr=False)
+        return
 
     from fgs_nerf_tpu.core.box import SceneBox
     from fgs_nerf_tpu.models import sdf_voxel as M
@@ -157,15 +187,7 @@ def main():
     s_val = jnp.asarray(0.2, jnp.float32)
     tv_on = jnp.asarray(1.0, jnp.float32)
 
-    for _ in range(N_WARMUP):
-        params, opt_state, metrics = step(params, opt_state, {}, *batch, s_val, lrs, tv_on)
-    jax.block_until_ready(metrics["loss"])
-
-    t0 = time.perf_counter()
-    for _ in range(N_ITERS):
-        params, opt_state, metrics = step(params, opt_state, {}, *batch, s_val, lrs, tv_on)
-    jax.block_until_ready(metrics["loss"])
-    dt = (time.perf_counter() - t0) / N_ITERS
+    dt = _time_step(step, params, opt_state, {}, batch, s_val, lrs, tv_on)
 
     rays_per_s = N_RAND / dt
     if mesh is not None:
@@ -176,6 +198,7 @@ def main():
             "unit": "rays/s",
             "mesh": args.mesh,
             "backend": jax.default_backend(),
+            "step_ms": round(dt * 1e3, 2),
             "rays_per_s_per_device": round(rays_per_s / n_dev, 1),
             "vs_baseline": round(rays_per_s / REF_RAYS_PER_S, 3),
         }))
@@ -184,6 +207,7 @@ def main():
         "metric": "train_rays_per_s",
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
+        "step_ms": round(dt * 1e3, 2),
         "vs_baseline": round(rays_per_s / REF_RAYS_PER_S, 3),
     }))
 
@@ -213,6 +237,89 @@ def main():
     except Exception as e:  # noqa: BLE001 — the stderr extra must never
         # break the primary stdout JSON line's exit status
         print(f"ckpt-workload variant skipped: {e!r}", file=sys.stderr)
+
+    try:
+        _fine_workload(args.engine, to_stderr=True)
+    except Exception as e:  # noqa: BLE001 — same isolation as above
+        print(f"fine-stage variant skipped: {e!r}", file=sys.stderr)
+
+
+def _fine_workload(engine_override=None, to_stderr=True):
+    """Fine-stage bench (VERDICT r4 item 2): the most expensive stage of
+    real training — 256^3 grid, 8,192 rays, hierarchical taps
+    ``grad_feat=sdf_feat=(0.5,1,1.5,2)``, rgbnet(256x4) -> refnet(256x4),
+    shade_k=128 / sample_k=512, per `config/shiny_blender.py:181-236`
+    (mirrored in `fgs_nerf_tpu/config/scenes.py` fine_model) and
+    `model/nerf.py:776-941`."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from fgs_nerf_tpu.core.box import SceneBox
+    from fgs_nerf_tpu.models import sdf_voxel as M
+    from fgs_nerf_tpu.optim.masked_adam import ParamOpts, init_state
+    from fgs_nerf_tpu.train.losses import LossWeights
+    from fgs_nerf_tpu.train.trainer import make_train_step
+
+    xyz_min = np.array([-1.0, -1.0, -1.0], np.float32)
+    xyz_max = np.array([1.0, 1.0, 1.0], np.float32)
+    cfg = M.make_model_config(
+        stage="fine", xyz_min=xyz_min, xyz_max=xyz_max,
+        num_voxels=256**3, num_voxels_base=256**3, stepsize=0.5,
+        k0_dim=12, rgbnet_width=256, rgbnet_depth=4,
+        refnet_width=256, refnet_depth=4,
+        posbase_pe=5, viewbase_pe=3, refbase_pe=8,
+        grad_feat=(0.5, 1.0, 1.5, 2.0), sdf_feat=(0.5, 1.0, 1.5, 2.0),
+        center_sdf=True, use_viewdir=True,
+        s_ratio=50.0, s_start=0.05, fast_color_thres=1e-4,
+        shade_k=128, sample_k=512, shade_remat=False,
+    )
+    if engine_override:
+        cfg = dataclasses.replace(cfg, engine=engine_override)
+    box = SceneBox.create(xyz_min, xyz_max)
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+
+    # fine_train loss weights (`config/shiny_blender.py:181-218`)
+    loss_w = LossWeights(
+        weight_main=1.0, weight_rgbper=0.0, weight_entropy_last=1e-3,
+        weight_orientation=1e-4, sigmoid_rgb_loss=0.02,
+        weight_tv_density=0.01, weight_tv_k0=0.0, ori_tv=False,
+    )
+    opts = {
+        name: ParamOpts(skip_zero_grad=name in ("k0", "sdf"))
+        for name in params
+    }
+    step = make_train_step(
+        cfg, box, loss_w, opts, near=0.2, bg=1.0, n_rand=N_RAND,
+        sdf_tv=0.1, smooth_grad_tv=0.05, inject_tv=True, tv_dense=True,
+        weight_tv_density=0.01, weight_tv_k0=0.0, use_nonempty_mask=False,
+    )
+    lrs = {"sdf": jnp.asarray(5e-3), "k0": jnp.asarray(0.1),
+           "refnet": jnp.asarray(1e-3), "rgbnet": jnp.asarray(1e-3)}
+
+    rng = np.random.default_rng(0)
+    cam = np.array([0.0, 0.0, 3.5], np.float32)
+    rays_o = np.broadcast_to(cam, (N_RAND, 3)).copy()
+    look = rng.normal(size=(N_RAND, 3)).astype(np.float32) * 0.4
+    rays_d = look - rays_o
+    viewdirs = rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True)
+    target = rng.uniform(size=(N_RAND, 3)).astype(np.float32)
+    batch = tuple(jnp.asarray(a) for a in (rays_o, rays_d, viewdirs, target))
+
+    dt = _time_step(
+        step, params, init_state(params), {}, batch,
+        jnp.asarray(0.05, jnp.float32), lrs, jnp.asarray(1.0, jnp.float32),
+        n_warmup=2, n_iters=6,
+    )
+    line = json.dumps({
+        "metric": "train_rays_per_s_fine",
+        "value": round(N_RAND / dt, 1),
+        "unit": "rays/s",
+        "step_ms": round(dt * 1e3, 2),
+        "vs_baseline": round(N_RAND / dt / REF_RAYS_PER_S, 3),
+    })
+    print(line, file=sys.stderr if to_stderr else sys.stdout)
 
 
 def _ckpt_workload_variant(ckpt_path, cfg, box, loss_w, opts, batch, s_val,
@@ -246,23 +353,15 @@ def _ckpt_workload_variant(ckpt_path, cfg, box, loss_w, opts, batch, s_val,
         use_nonempty_mask=False,
     )
     params_ck = M.init_params(jax.random.PRNGKey(0), cfg_ck)
-    opt_ck = init_state(params_ck)
-    for _ in range(N_WARMUP):
-        params_ck, opt_ck, m_ck = step_ck(
-            params_ck, opt_ck, buffers, *batch, s_val, lrs, tv_on
-        )
-    jax.block_until_ready(m_ck["loss"])
-    t0 = time.perf_counter()
-    for _ in range(N_ITERS):
-        params_ck, opt_ck, m_ck = step_ck(
-            params_ck, opt_ck, buffers, *batch, s_val, lrs, tv_on
-        )
-    jax.block_until_ready(m_ck["loss"])
-    dt_ck = (time.perf_counter() - t0) / N_ITERS
+    dt_ck = _time_step(
+        step_ck, params_ck, init_state(params_ck), buffers, batch,
+        s_val, lrs, tv_on,
+    )
     print(json.dumps({
         "metric": "train_rays_per_s_ckpt_workload",
         "value": round(N_RAND / dt_ck, 1),
         "unit": "rays/s",
+        "step_ms": round(dt_ck * 1e3, 2),
         "ckpt": ckpt_path,
         "vs_baseline": round(N_RAND / dt_ck / REF_RAYS_PER_S, 3),
     }), file=sys.stderr)

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-def _dense_kernel(rows_ref, upd_ref, out_ref, acc, a0_ref, sem):
+def _dense_kernel(rows_ref, upd_ref, out_ref, acc, lo, a0_ref, sem):
     b = pl.program_id(0)
     nb = pl.num_programs(0)
     block = acc.shape[0] // 2
@@ -52,8 +52,16 @@ def _dense_kernel(rows_ref, upd_ref, out_ref, acc, a0_ref, sem):
     )
 
     def flush(a0):
+        # accumulation stays fp32 in VMEM; a narrower out dtype (the
+        # memory valve for fine-stage 256^3 buffers) rounds each dense
+        # row ONCE at flush time
+        if lo is not None:
+            lo[:] = acc[pl.ds(0, block), :].astype(lo.dtype)
+            src = lo
+        else:
+            src = acc.at[pl.ds(0, block), :]
         dma = pltpu.make_async_copy(
-            acc.at[pl.ds(0, block), :], out_ref.at[pl.ds(a0, block), :], sem
+            src, out_ref.at[pl.ds(a0, block), :], sem
         )
         dma.start()
         dma.wait()
@@ -102,7 +110,7 @@ def _dense_kernel(rows_ref, upd_ref, out_ref, acc, a0_ref, sem):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_rows_cap", "block", "interpret")
+    jax.jit, static_argnames=("n_rows_cap", "block", "interpret", "out_dtype")
 )
 def dense_accumulate_pallas(
     rows: jnp.ndarray,  # [M] s32 non-decreasing dense-row ids, < n_rows_cap
@@ -110,11 +118,16 @@ def dense_accumulate_pallas(
     n_rows_cap: int,
     block: int = 2048,
     interpret: bool = False,  # run the kernel body on CPU (CI parity tests)
+    out_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """D[row] += upd, D zero elsewhere; returns [n_rows_cap, C] f32.
 
     ``n_rows_cap`` is rounded up to a multiple of ``block`` internally;
     callers get exactly ``n_rows_cap`` rows back.
+
+    ``out_dtype=bfloat16`` halves the dense buffer (accumulation is
+    still fp32 in VMEM; each row is rounded once at flush) — used when
+    the dense row space is huge (fine-stage 256^3 grids).
     """
     m, c0 = upd.shape
     # lane tiling: VMEM slices and DMA shapes must be 128-wide multiples
@@ -141,15 +154,26 @@ def dense_accumulate_pallas(
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
             pltpu.VMEM((2 * block, c), jnp.float32),
+        ] + (
+            [pltpu.VMEM((block, c), out_dtype)]
+            if out_dtype != jnp.float32 else []
+        ) + [
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
     )
+    kernel = _dense_kernel
+    if out_dtype == jnp.float32:
+        kernel = functools.partial(_dense_f32_kernel)
     out = pl.pallas_call(
-        _dense_kernel,
+        kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((cap, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((cap, c), out_dtype),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(rows_b, upd_b)
     return out[:n_rows_cap, :c0]
+
+
+def _dense_f32_kernel(rows_ref, upd_ref, out_ref, acc, a0_ref, sem):
+    return _dense_kernel(rows_ref, upd_ref, out_ref, acc, None, a0_ref, sem)

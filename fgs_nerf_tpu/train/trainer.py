@@ -60,6 +60,60 @@ def make_param_opts(params: Dict[str, Any], cfg_train) -> Dict[str, ParamOpts]:
     }
 
 
+def _make_forward_fn(cfg_model, box, near, bg, gather_fn, mesh):
+    """Forward closure; shard_map-wrapped over dp for the sorted engine.
+
+    Rays never interact (SURVEY.md §5.7), so the per-device forward on
+    the local ray shard is EXACTLY the global forward restricted to
+    those rays — sorts, packs and Pallas kernels all run on local
+    shapes.  Replicated params transpose to a psum of the per-device
+    grid/MLP cotangents, which is the dp gradient reduction."""
+    dp_size = 0
+    if mesh is not None and "dp" in mesh.axis_names:
+        dp_size = int(mesh.shape["dp"])
+    use_shmap = (
+        cfg_model.engine == "sorted" and not cfg_model.is_fine
+        and gather_fn is None and dp_size > 1
+    )
+    if not use_shmap:
+        def forward_fn(p, buffers, rays_o, rays_d, viewdirs, sv):
+            return M.forward(
+                p, buffers, cfg_model, box, rays_o, rays_d, viewdirs, sv,
+                near=near, bg=bg, gather_fn=gather_fn,
+            )
+
+        return forward_fn
+
+    from jax.sharding import PartitionSpec as P
+
+    shard_map = jax.shard_map
+
+    def _local(p, buffers, rays_o, rays_d, viewdirs, sv):
+        out = M.forward(
+            p, buffers, cfg_model, box, rays_o, rays_d, viewdirs, sv,
+            near=near, bg=bg, gather_fn=None,
+        )
+        # every other output is per-ray ([n_local, ...]); s_val is the
+        # one replicated scalar — re-attached outside the shard_map
+        out.pop("s_val")
+        return out
+
+    dp = P("dp")
+    fwd = shard_map(
+        _local, mesh=mesh,
+        in_specs=(P(), P(), dp, dp, dp, P()),
+        out_specs=dp,
+        check_vma=False,
+    )
+
+    def forward_fn(p, buffers, rays_o, rays_d, viewdirs, sv):
+        out = fwd(p, buffers, rays_o, rays_d, viewdirs, sv)
+        out["s_val"] = sv
+        return out
+
+    return forward_fn
+
+
 def make_train_step(
     cfg_model: M.SDFModelConfig,
     box: SceneBox,
@@ -77,21 +131,28 @@ def make_train_step(
     weight_tv_k0: float,
     use_nonempty_mask: bool,
     gather_fn=None,
+    mesh=None,
 ):
     """Build the jitted train step for one (stage, rung, tv-config).
 
     ``gather_fn`` overrides the model's trilinear field gather — the
     spatially sharded gather when grids are sp-sharded
-    (`parallel/spatial_train.py`)."""
+    (`parallel/spatial_train.py`).
+
+    ``mesh``: when the sorted engine runs on a dp mesh, the forward is
+    wrapped in ``shard_map`` over the ``dp`` axis so the engine's
+    stable sorts and pack windows stay DEVICE-LOCAL (rays are
+    independent; a GSPMD-global ``lax.sort`` over the sharded sample
+    stream would all-gather it).  Grid/MLP params stay replicated; the
+    shard_map transpose inserts the gradient psum.  The lattice engine
+    needs no wrapper (its gathers partition cleanly under GSPMD)."""
+    forward_fn = _make_forward_fn(cfg_model, box, near, bg, gather_fn, mesh)
 
     def step_fn(params, opt_state, buffers, rays_o, rays_d, viewdirs, target,
                 s_val, lrs, tv_on):
         def loss_fn(p):
             sv = p["s_val"][0] if cfg_model.s_learn else s_val
-            render = M.forward(
-                p, buffers, cfg_model, box, rays_o, rays_d, viewdirs, sv,
-                near=near, bg=bg, gather_fn=gather_fn,
-            )
+            render = forward_fn(p, buffers, rays_o, rays_d, viewdirs, sv)
             nonempty = buffers.get("nonempty_mask") if use_nonempty_mask else None
             losses = compute_losses(
                 render, target, viewdirs, p, cfg_model, loss_w,
@@ -350,6 +411,7 @@ def train_stage(
                 weight_tv_k0=loss_w.weight_tv_k0,
                 use_nonempty_mask="nonempty_mask" in buffers,
                 gather_fn=gather_fn,
+                mesh=mesh,
             )
         return step_cache[key_]
 

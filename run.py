@@ -36,8 +36,10 @@ def config_parser():
     p.add_argument("--scene", type=int, default=0)
     p.add_argument("--only_mesh", action="store_true")
     p.add_argument("--mesh_resolution", type=int, default=1024)
-    p.add_argument("--eval_ssim", default=True)
-    p.add_argument("--eval_lpips", default=False)
+    p.add_argument("--eval_ssim", default=True,
+                   type=lambda s: s not in ("0", "False", "false"))
+    p.add_argument("--eval_lpips", default=False,
+                   type=lambda s: s not in ("0", "False", "false"))
     p.add_argument("--seed", type=int, default=777)
     p.add_argument("--render_only", action="store_true",
                    help="do not optimize; reload weights and render the "

@@ -13,6 +13,10 @@ from fgs_nerf_tpu.data.synthetic import make_synthetic_dataset
 from fgs_nerf_tpu.train.trainer import train_stage
 
 PSNR_FLOOR = 23.0  # recorded: 28.66 last-30 mean
+# Soft corridor (VERDICT r4 item 10): drift below the recorded level is
+# REPORTED (warning) long before it eats the 5 dB hard margin, without
+# making the suite flaky on fp noise.
+PSNR_EXPECTED = 27.5
 
 TINY = dict(
     geometry_searching=dict(
@@ -35,7 +39,18 @@ def test_geometry_search_converges_above_floor():
         tempfile.mkdtemp(), i_print=50,
     )
     h = np.asarray(res.psnr_history)
-    assert h[-30:].mean() >= PSNR_FLOOR, h[-30:].mean()
+    mean30 = h[-30:].mean()
+    assert mean30 >= PSNR_FLOOR, mean30
+    if mean30 < PSNR_EXPECTED:
+        import warnings
+
+        warnings.warn(
+            f"convergence drift: last-30 PSNR {mean30:.2f} dB is below the "
+            f"recorded {PSNR_EXPECTED} dB soft corridor (hard floor "
+            f"{PSNR_FLOOR} dB still holds) — investigate before the margin "
+            "erodes",
+            stacklevel=1,
+        )
     # the exactness claim of the top-K compaction holds only at zero
     # overflow — these capacities must never drop samples on this scene
     assert res.last_metrics["overflow_frac"] == 0.0

@@ -197,3 +197,45 @@ def test_dense_accumulate_rowmajor_interpret():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2
     )
+    # bf16-flush variant (the fine-stage 256^3 memory valve): fp32 VMEM
+    # accumulation, one rounding per dense row at flush
+    got_bf = dense_accumulate_pallas(
+        rows, upd, cap, block=512, interpret=True, out_dtype=jnp.bfloat16
+    )
+    assert got_bf.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got_bf, dtype=np.float32), np.asarray(want),
+        rtol=3e-2, atol=3e-2,
+    )
+
+
+def test_corner_scatter_fold_matches_unfolded():
+    """The z-fold path of ``corner_scatter_grid_grad`` (small-C memory
+    valve) must reproduce the unfolded accumulation exactly: same
+    per-lane sorted accumulation order, just relocated lanes."""
+    from fgs_nerf_tpu.ops.pallas.scatter_combine import dense_accumulate_pallas
+
+    rng = np.random.default_rng(7)
+    m = 2 * 512
+    cap = 8 * 512
+    c8 = 8  # a 1-channel tap backward
+    fold = 4
+    rows = jnp.asarray(
+        np.sort(rng.integers(0, cap - 1, size=m)).astype(np.int32)
+    )
+    upd = jnp.asarray(rng.normal(size=(m, c8)).astype(np.float32))
+
+    plain = dense_accumulate_pallas(rows, upd, cap, block=512, interpret=True)
+
+    rmod = (rows % fold)[:, None]
+    upd_f = jnp.concatenate(
+        [upd * (rmod == k).astype(upd.dtype) for k in range(fold)], axis=-1
+    )
+    cap_f = cap // fold
+    folded = dense_accumulate_pallas(
+        rows // fold, upd_f, cap_f, block=512, interpret=True
+    )
+    unfolded = folded.reshape(cap_f * fold, c8)
+    np.testing.assert_allclose(
+        np.asarray(unfolded), np.asarray(plain), rtol=2e-2, atol=2e-2
+    )

@@ -12,7 +12,7 @@ from fgs_nerf_tpu.train.losses import LossWeights
 from fgs_nerf_tpu.train.trainer import make_train_step
 
 
-def setup(n_rays=32):
+def setup(n_rays=32, engine="lattice", mesh=None):
     xyz_min = np.array([-1.0, -1.0, -1.0], np.float32)
     xyz_max = np.array([1.0, 1.0, 1.0], np.float32)
     cfg = M.make_model_config(
@@ -20,6 +20,7 @@ def setup(n_rays=32):
         num_voxels=16**3, num_voxels_base=16**3, stepsize=0.5, k0_dim=4,
         refnet_width=16, refnet_depth=3, posbase_pe=2, viewbase_pe=1,
         refbase_pe=2, s_ratio=50.0, s_start=0.2, shade_k=16,
+        engine=engine,
     )
     box = SceneBox.create(xyz_min, xyz_max)
     params = M.init_params(jax.random.PRNGKey(0), cfg)
@@ -39,6 +40,7 @@ def setup(n_rays=32):
         cfg, box, loss_w, opts, near=0.2, bg=1.0, n_rand=n_rays,
         sdf_tv=0.1, smooth_grad_tv=0.05, inject_tv=False, tv_dense=True,
         weight_tv_density=0.01, weight_tv_k0=0.0, use_nonempty_mask=False,
+        mesh=mesh,
     )
     lrs = {"sdf": jnp.asarray(0.1), "k0": jnp.asarray(0.1),
            "refnet": jnp.asarray(1e-3)}
@@ -76,6 +78,85 @@ def test_dp_sharded_step_matches_single_device():
     np.testing.assert_allclose(p1["sdf"], p4["sdf"], atol=5e-5)
     np.testing.assert_allclose(
         p1["refnet"]["w0"], p4["refnet"]["w0"], atol=5e-5
+    )
+
+
+def test_dp_sharded_sorted_engine_matches_single_device():
+    """VERDICT r4 item 3: the sorted engine (the shipping coarse-stage
+    fast path) must compose with the dp mesh.  The step wraps the
+    forward in shard_map over dp, so each device sorts/packs only its
+    local ray shard; replicated grids transpose to a grad psum.
+
+    Parity is asserted at the LOSS and GRADIENT level (tight — this is
+    the sharding-correctness check); post-Adam params are only loosely
+    bounded because the first masked-Adam step normalizes every nonzero
+    gradient coordinate to +-lr, so psum-reassociation sign flips of
+    near-zero gradients move single voxels by O(lr) (same caveat as
+    ``test_cli_mesh_training_matches_single_device``)."""
+    from fgs_nerf_tpu.train.trainer import _make_forward_fn
+    from fgs_nerf_tpu.train.losses import compute_losses
+
+    cfg, params, batch, step, lrs = setup(n_rays=32, engine="sorted")
+    rays_o, rays_d, viewdirs, target = batch
+    box = SceneBox.create(np.array([-1.0] * 3, np.float32),
+                          np.array([1.0] * 3, np.float32))
+    loss_w = LossWeights(weight_main=1.0, weight_entropy_last=1e-3,
+                         weight_orientation=1e-4, sigmoid_rgb_loss=0.1,
+                         weight_tv_density=0.01, ori_tv=True)
+
+    def make_loss(fwd):
+        def loss_fn(p):
+            render = fwd(p, {}, rays_o, rays_d, viewdirs,
+                         jnp.asarray(0.2, jnp.float32))
+            losses = compute_losses(
+                render, target, viewdirs, p, cfg, loss_w,
+                sdf_tv=0.1, smooth_grad_tv=0.05,
+                tv_on=jnp.asarray(1.0, jnp.float32), nonempty_mask=None,
+            )
+            return losses["loss"]
+        return loss_fn
+
+    fwd1 = _make_forward_fn(cfg, box, 0.2, 1.0, None, None)
+    l1, g1 = jax.value_and_grad(make_loss(fwd1))(params)
+
+    devices = jax.devices()[:4]
+    mesh = Mesh(np.asarray(devices), ("dp",))
+    fwd4 = _make_forward_fn(cfg, box, 0.2, 1.0, None, mesh)
+    bs = NamedSharding(mesh, P("dp"))
+    rays_o, rays_d, viewdirs, target = (
+        jax.device_put(x, bs) for x in batch
+    )
+    p_repl = jax.device_put(params, NamedSharding(mesh, P()))
+    l4, g4 = jax.jit(jax.value_and_grad(make_loss(fwd4)))(p_repl)
+
+    np.testing.assert_allclose(float(l4), float(l1), rtol=1e-5)
+    # Verified bound (see the session analysis): the jitted per-ray
+    # forward is BITWISE identical across dp sizes for ndv/weights; the
+    # only per-sample noise is the bf16 shading matmul's contraction
+    # tiling at different per-device m (~5e-5 on rgb), which propagates
+    # into grads at the same scale.  A systematic sharding bug (shard
+    # double-count, missing psum) scales grads by O(1) and fails these.
+    for name in ("sdf", "k0"):
+        np.testing.assert_allclose(
+            np.asarray(g4[name]), np.asarray(g1[name]),
+            rtol=1e-3, atol=5e-5, err_msg=name,
+        )
+    for leaf, v1 in g1["refnet"].items():
+        np.testing.assert_allclose(
+            np.asarray(g4["refnet"][leaf]), np.asarray(v1),
+            rtol=1e-3, atol=5e-5, err_msg=f"refnet/{leaf}",
+        )
+
+    # the full train step (incl. masked Adam) stays loosely bounded
+    p1, m1 = run_step(step, params, batch, lrs, mesh=None)
+    cfg, params, batch, step4, lrs = setup(
+        n_rays=32, engine="sorted", mesh=mesh
+    )
+    p4, m4 = run_step(step4, params, batch, lrs, mesh=mesh)
+    assert abs(m1["loss"] - m4["loss"]) < 1e-5
+    d = np.abs(np.asarray(p1["sdf"]) - np.asarray(p4["sdf"]))
+    assert np.median(d) < 1e-6 and (d > 5e-5).mean() < 0.01, (
+        np.median(d), (d > 5e-5).mean()
     )
 
 
