@@ -274,6 +274,10 @@ def _fine_workload(engine_override=None, to_stderr=True):
         center_sdf=True, use_viewdir=True,
         s_ratio=50.0, s_start=0.05, fast_color_thres=1e-4,
         shade_k=128, sample_k=512, shade_remat=False,
+        # two-pass sorted fine engine (the lattice fine path's
+        # channel-last tap streams physically lane-pad to 16x their
+        # logical bytes at 256^3 and exceed HBM)
+        engine="sorted",
     )
     if engine_override:
         cfg = dataclasses.replace(cfg, engine=engine_override)

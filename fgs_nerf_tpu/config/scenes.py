@@ -241,6 +241,10 @@ _BASE = dict(
     fine_model=dict(
         num_voxels=256**3,
         num_voxels_base=256**3,
+        # two-pass sorted fine engine (base field pass + exact
+        # hierarchical taps as offset window serves); the lattice
+        # pipeline remains the sp-sharded / eval-artifact path
+        engine="sorted",
         nearest=False,
         bbox_thres=1e-3,
         mask_cache_thres=1e-3,
@@ -319,5 +323,23 @@ QUICK_SYNTHETIC = deep_update(
         ),
         fine_model=dict(num_voxels=40**3, num_voxels_base=40**3, shade_k=64,
                         sample_k=128),
+    ),
+)
+
+
+# The REAL shiny-blender schedule (12k/15k/20k iters, geometry 120^3 ->
+# fine 256^3, 8,192 rays/step — `config/shiny_blender.py:30,106,181`)
+# pointed at the procedural glossy-sphere scene at a realistic capture
+# resolution.  The closest achievable stand-in for a real-dataset
+# quality run in an environment with no datasets mounted (VERDICT r4
+# item 5): exercises every rung of the pg_scale ladders, the 256^3 fine
+# stage, checkpoint handoffs and the full eval path at scale.
+FULL_SYNTHETIC = deep_update(
+    _BASE,
+    dict(
+        data=dict(
+            dataset_type="synthetic", synthetic_views=40,
+            synthetic_hw=256, synthetic_test=3,
+        ),
     ),
 )

@@ -224,7 +224,12 @@ def load_dataset(cfg) -> Dict:
     elif dtype == "synthetic":
         from fgs_nerf_tpu.data.synthetic import make_synthetic_dataset
 
-        return make_synthetic_dataset()
+        return make_synthetic_dataset(
+            n_views=int(d.get("synthetic_views", 12)),
+            h=int(d.get("synthetic_hw", 64)),
+            w=int(d.get("synthetic_hw", 64)),
+            n_test=int(d.get("synthetic_test", 2)),
+        )
     else:
         raise NotImplementedError(
             f"dataset_type {dtype!r}; supported: blender, dtu, llff, nsvf, "

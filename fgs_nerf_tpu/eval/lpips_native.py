@@ -46,6 +46,40 @@ def weights_path() -> Optional[str]:
     return p if p and os.path.exists(p) else None
 
 
+def fallback_enabled() -> bool:
+    """Weights-free fallback gate (on unless FGS_LPIPS_FALLBACK=0)."""
+    return os.environ.get("FGS_LPIPS_FALLBACK", "1") not in (
+        "0", "False", "false"
+    )
+
+
+def _fallback_weights() -> Dict[str, np.ndarray]:
+    """Deterministic random-feature weights (seed 0, He-init convs,
+    uniform linear heads).
+
+    Zero-egress stand-in for the pretrained AlexNet+LPIPS weights: a
+    fixed randomly-initialized conv trunk with the same architecture
+    and the same normalized-feature squared-difference math.  Random
+    conv features are a known serviceable perceptual distance (they
+    respond to edges/texture scale like early conv layers), and the
+    fixed seed makes values reproducible across runs/machines — usable
+    for regression tracking and relative comparisons, NOT comparable to
+    published LPIPS numbers (`/root/reference/model/evaluation.py:59-74`
+    uses the pretrained net; export real weights with
+    ``scripts/export_lpips_weights.py`` to match it exactly).
+    """
+    rng = np.random.default_rng(0)
+    w: Dict[str, np.ndarray] = {}
+    for i, (co, ci, k, _, _) in enumerate(_ALEX):
+        w[f"conv{i}_w"] = (
+            rng.normal(size=(co, ci, k, k)).astype(np.float32)
+            * np.sqrt(2.0 / (ci * k * k))
+        )
+        w[f"conv{i}_b"] = np.zeros(co, np.float32)
+        w[f"lin{i}"] = np.full((co,), 1.0 / co, np.float32)
+    return w
+
+
 def load_weights(path: str) -> Dict[str, np.ndarray]:
     with np.load(path) as z:
         w = {k: z[k] for k in z.files}
@@ -100,16 +134,36 @@ def _distance(im0, im1, w):
 
 
 def lpips_native(np_gt: np.ndarray, np_im: np.ndarray) -> Optional[float]:
-    """LPIPS(alex) of two [H, W, 3] float images in [0, 1]; None when
-    ``FGS_LPIPS_WEIGHTS`` is unset/missing."""
+    """LPIPS(alex) of two [H, W, 3] float images in [0, 1].
+
+    Uses the exported pretrained weights when ``FGS_LPIPS_WEIGHTS`` is
+    set; otherwise the deterministic random-feature fallback (loud
+    one-time warning).  Returns None only when the fallback is disabled
+    via ``FGS_LPIPS_FALLBACK=0`` and no weights file exists."""
     path = weights_path()
-    if path is None:
+    if path is None and not fallback_enabled():
         return None
     import jax
 
-    if "w" not in _CACHE or _CACHE.get("path") != path:
-        _CACHE["w"] = load_weights(path)
-        _CACHE["path"] = path
+    key = path or "<fallback>"
+    if "w" not in _CACHE or _CACHE.get("path") != key:
+        if path is None:
+            import warnings
+
+            warnings.warn(
+                "FGS_LPIPS_WEIGHTS is not set — LPIPS is running on the "
+                "DETERMINISTIC RANDOM-FEATURE fallback (fixed-seed conv "
+                "trunk, same metric math).  Values are reproducible and "
+                "usable for regression tracking, but NOT comparable to "
+                "published LPIPS numbers.  Export the pretrained weights "
+                "once with scripts/export_lpips_weights.py to match the "
+                "reference metric exactly.",
+                stacklevel=2,
+            )
+            _CACHE["w"] = _fallback_weights()
+        else:
+            _CACHE["w"] = load_weights(path)
+        _CACHE["path"] = key
 
         def f(a, b):
             return _distance(a, b, _CACHE["w"])

@@ -90,9 +90,10 @@ _LPIPS_WARNED = set()
 def rgb_lpips(np_gt, np_im, net_name="alex", device="cpu") -> Optional[float]:
     """LPIPS (`model/evaluation.py:59-74`); None when unavailable.
 
-    Resolution order: (1) the torch-free native implementation when
-    ``FGS_LPIPS_WEIGHTS`` points at an exported weights npz
-    (`eval/lpips_native.py`, alex only — the zero-egress path);
+    Resolution order: (1) the torch-free native implementation
+    (`eval/lpips_native.py`, alex only — exported weights when
+    ``FGS_LPIPS_WEIGHTS`` is set, else the deterministic random-feature
+    fallback with a loud warning; disable with ``FGS_LPIPS_FALLBACK=0``);
     (2) the `lpips` package when installed with fetchable weights;
     (3) None with a once-per-net warning so an eval log always states
     why the metric is absent.  Only genuine unavailability is gated —

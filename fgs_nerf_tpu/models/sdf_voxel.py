@@ -601,6 +601,14 @@ def forward(
     gather_fn=None,
 ) -> Dict[str, jnp.ndarray]:
     if cfg.is_fine:
+        if (
+            cfg.engine == "sorted" and gather_fn is None
+            and cfg.all_displace and 1.0 in cfg.all_displace
+        ):
+            return forward_fine_sorted(
+                params, buffers, cfg, box, rays_o, rays_d, viewdirs, s_val,
+                near, bg,
+            )
         return forward_fine(params, buffers, cfg, box, rays_o, rays_d,
                             viewdirs, s_val, near, bg, gather_fn=gather_fn)
     if cfg.engine == "sorted" and gather_fn is None:
@@ -1038,6 +1046,378 @@ def _mlp_apply_cm(mlp_params, blocks, bf16: bool):
         if not last:
             x = jax.nn.relu(x)
     return x.astype(jnp.float32)
+
+
+def forward_fine_sorted(
+    params, buffers, cfg: SDFModelConfig, box: SceneBox,
+    rays_o, rays_d, viewdirs, s_val, near, bg,
+) -> Dict[str, jnp.ndarray]:
+    """Fine render on the row-sorted channel-major stream — the
+    TPU answer to `model/nerf.py:776-941`, built in two sorted passes:
+
+    * **Pass 1** (full sample lattice): identical machinery to
+      ``forward_coarse_sorted`` — ONE stable sort by grid row, fused
+      ``[sdf | grad | k0]`` half-pack serve, alpha in sorted domain;
+      only (alpha, ndv) cross back for the single transmittance scan.
+      The alpha gradient samples the interpolated central-difference
+      grid, which EQUALS the reference's displace-1.0 tap gradient at
+      every interior point (difference-of-interpolations ==
+      interpolation-of-node-differences for +-1 taps); within one voxel
+      of the bbox edge the tap clamp makes the reference one-sided
+      while the grid field is zero — a documented boundary-band
+      approximation (``fine_grad_taps`` in tests pins the exact-tap
+      lattice path).
+    * **Pass 2** (top-``shade_k`` shaded selection): the EXACT
+      hierarchical taps.  Every tap is a standard half-pack serve at
+      ``row + delta`` with per-tap corner weights
+      (`ops/sorted_cm.py:tap_deltas_weights`): z/y taps ride the base
+      z-minor sort through the multi-tap window kernel; x taps ride a
+      second, x-minor linearization of the SAME machinery on the
+      transposed grid.  rgbnet -> refnet shading runs channel-major in
+      sorted order; three rgb channels cross back for compositing.
+
+    ``normal_marched`` is not produced (training losses consume the
+    per-sample ``ndv``); use the lattice engine for eval artifacts.
+    """
+    from fgs_nerf_tpu.ops.ray_sample import ray_box_intersect
+    from fgs_nerf_tpu.ops.sdf2alpha import neus_alpha_from_cos
+    from fgs_nerf_tpu.ops.sorted_cm import (
+        corner_weights_cm, pack_gather_sorted_cm, padded_rows_cm,
+        rows_fracs_cm, rows_to_coords_cm, tap_bounds, tap_deltas_weights,
+        tap_gather_sorted_cm, unsort_channels,
+    )
+    from fgs_nerf_tpu.ops.stencils import sdf_gradient_cm
+
+    n = rays_o.shape[0]
+    dist = jnp.asarray(cfg.step_dist, jnp.float32)
+    sizes = cfg.world_size
+    ext = box.extent
+
+    # ---- pass 1: lattice sampling (same expressions as the coarse
+    # sorted engine) ---------------------------------------------------
+    t_min, t_max = ray_box_intersect(rays_o, rays_d, box, near, 1e9)
+    d_norm = jnp.linalg.norm(rays_d, axis=-1)
+    n_steps = jnp.maximum(
+        jnp.ceil((t_max - t_min) * d_norm / cfg.step_dist), 1.0
+    ).astype(jnp.int32)
+    start = rays_o + rays_d * t_min[..., None]
+    dir_unit = rays_d / d_norm[..., None]
+    step_ids = jnp.arange(cfg.s_max, dtype=jnp.float32)
+
+    def axes_at(steps):
+        d_ = steps * cfg.step_dist
+        return tuple(
+            start[:, a:a + 1] + dir_unit[:, a:a + 1] * d_ for a in range(3)
+        )
+
+    steps0 = jnp.broadcast_to(step_ids[None, :], (n, cfg.s_max))
+    px, py, pz = axes_at(steps0)
+    in_range = step_ids[None, :] < n_steps[:, None].astype(jnp.float32)
+    valid = in_range
+    for a, p in enumerate((px, py, pz)):
+        valid = valid & (p >= box.xyz_min[a]) & (p <= box.xyz_max[a])
+
+    if "mask_cache" in buffers:
+        pts = jnp.stack([px, py, pz], axis=-1)
+        valid = valid & mask_cache_query(
+            buffers["mask_cache"], pts, cfg.mask_cache_thres
+        )
+
+    if 0 < cfg.sample_k < cfg.s_max:
+        valid, steps, sample_overflow = _compact_valid(valid, cfg.sample_k)
+        px, py, pz = axes_at(steps)
+    else:
+        steps = steps0
+        sample_overflow = jnp.zeros((n,), bool)
+    s = valid.shape[-1]
+    m = n * s
+
+    # ---- field, channel-major: [sdf | grad | k0], gradient from the
+    # (possibly smoothed) sdf grid — the grid the fine taps sample ----
+    sdf_grid = params["sdf"]
+    if cfg.smooth_sdf:
+        sdf_grid = smooth_grid(sdf_grid, cfg.smooth_ksize, cfg.smooth_sigma)
+    sdf3 = sdf_grid[..., 0]
+    grad_cm = sdf_gradient_cm(sdf3, cfg.voxel_size, cfg.grad_mode)
+    k0_cm = jnp.transpose(k0_dense(params, cfg), (3, 0, 1, 2))
+    field_cm = jnp.concatenate([sdf3[None], grad_cm, k0_cm], axis=0)
+
+    def rows_of(pxa, pya, pza):
+        ix = (pxa - box.xyz_min[0]) / ext[0] * (sizes[0] - 1.0)
+        iy = (pya - box.xyz_min[1]) / ext[1] * (sizes[1] - 1.0)
+        iz = (pza - box.xyz_min[2]) / ext[2] * (sizes[2] - 1.0)
+        return rows_fracs_cm(ix, iy, iz, sizes)
+
+    rows, (fx, fy, fz), ok = rows_of(px, py, pz)
+    r_sent = padded_rows_cm(sizes)
+    keys = jnp.where(valid & ok, rows, r_sent).reshape(m)
+
+    iota = jnp.arange(m, dtype=jnp.int32)
+    vshape = (n, s)
+    vdx = jnp.broadcast_to(viewdirs[:, 0:1], vshape).reshape(m)
+    vdy = jnp.broadcast_to(viewdirs[:, 1:2], vshape).reshape(m)
+    vdz = jnp.broadcast_to(viewdirs[:, 2:3], vshape).reshape(m)
+    keys_s, iota_s, fx_s, fy_s, fz_s, vx_s, vy_s, vz_s = (
+        jax.lax.stop_gradient(
+            jax.lax.sort(
+                (keys, iota, fx.reshape(m), fy.reshape(m), fz.reshape(m),
+                 vdx, vdy, vdz),
+                dimension=0, num_keys=1,
+            )
+        )
+    )
+    w8_s = corner_weights_cm(fx_s, fy_s, fz_s)
+    samp = pack_gather_sorted_cm(field_cm, keys_s, w8_s)
+    sdf_s = samp[0]
+    gx, gy, gz = samp[1], samp[2], samp[3]
+
+    true_cos = vx_s * gx + vy_s * gy + vz_s * gz
+    alpha_s = neus_alpha_from_cos(true_cos, sdf_s, dist, s_val)
+    gn = jnp.sqrt(jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-24)) + 1e-7
+    hx, hy, hz = gx / gn, gy / gn, gz / gn
+    hn = jnp.sqrt(
+        jnp.maximum(hx * hx + hy * hy + hz * hz,
+                    float(np.finfo(np.float32).eps))
+    )
+    ndv_s = -(hx / hn * vx_s + hy / hn * vy_s + hz / hn * vz_s)
+
+    alpha_u, ndv_u = unsort_channels(iota_s, keys, (alpha_s, ndv_s))
+    alpha = alpha_u.reshape(n, s)
+    ndv = ndv_u.reshape(n, s)
+
+    # fine tail: alpha threshold -> ONE scan -> weight threshold
+    # (`model/nerf.py:802-833`)
+    if cfg.fast_color_thres > 0:
+        m1 = valid & (alpha > cfg.fast_color_thres)
+    else:
+        m1 = valid
+    weights, alphainv_last = alpha_to_weights(alpha, m1)
+    if cfg.fast_color_thres > 0:
+        live = m1 & (weights > cfg.fast_color_thres)
+    else:
+        live = m1
+    w_eff = weights * live
+
+    # ---- shade selection (ray-major) ---------------------------------
+    if cfg.shade_k > 0:
+        idx, sel_live = _topk_select(weights, live, cfg.shade_k)
+        steps_sel = _gather_slots(steps, idx)
+        s_weights = _gather_slots(weights, idx) * sel_live
+        overflow = jnp.sum(live, axis=-1) > cfg.shade_k
+        k = cfg.shade_k
+    else:
+        steps_sel, sel_live, s_weights = steps, live, w_eff
+        overflow = jnp.zeros((n,), bool)
+        k = s
+
+    # ---- pass 2: exact taps + shading on the selection ---------------
+    qx, qy, qz = axes_at(steps_sel)
+    rows2, (fx2, fy2, fz2), ok2 = rows_of(qx, qy, qz)
+    m2 = n * k
+    keys2 = jnp.where(sel_live & ok2, rows2, r_sent).reshape(m2)
+    iota2 = jnp.arange(m2, dtype=jnp.int32)
+    vdx2 = jnp.broadcast_to(viewdirs[:, 0:1], (n, k)).reshape(m2)
+    vdy2 = jnp.broadcast_to(viewdirs[:, 1:2], (n, k)).reshape(m2)
+    vdz2 = jnp.broadcast_to(viewdirs[:, 2:3], (n, k)).reshape(m2)
+    (keys2_s, iota2_s, fx2_s, fy2_s, fz2_s, vx2_s, vy2_s, vz2_s) = (
+        jax.lax.stop_gradient(
+            jax.lax.sort(
+                (keys2, iota2, fx2.reshape(m2), fy2.reshape(m2),
+                 fz2.reshape(m2), vdx2, vdy2, vdz2),
+                dimension=0, num_keys=1,
+            )
+        )
+    )
+    w82_s = corner_weights_cm(fx2_s, fy2_s, fz2_s)
+    samp2 = pack_gather_sorted_cm(field_cm, keys2_s, w82_s)
+    sdf2_s = samp2[0]
+    k02_s = samp2[4:]
+
+    b0, b1, b2 = rows_to_coords_cm(jnp.minimum(keys2_s, r_sent - 1), sizes)
+    displace = cfg.all_displace
+    nd = len(displace)
+
+    # z/y taps on the base sort
+    mn_zy, mp_zy = tap_bounds(sizes)
+    delta_zy, w8t_zy, _ = tap_deltas_weights(
+        b0, b1, b2, fx2_s, fy2_s, fz2_s, displace, sizes, axes=("z", "y")
+    )
+    taps_zy = tap_gather_sorted_cm(
+        sdf3, keys2_s, delta_zy, jax.lax.stop_gradient(w8t_zy), mn_zy, mp_zy
+    )  # [4*nd, M2]: (z-, z+, y-, y+) x D
+
+    # x taps: x-minor linearization of the transposed grid
+    sizes_t = (sizes[2], sizes[1], sizes[0])
+    r_sent_x = padded_rows_cm(sizes_t)
+    ix2 = (qx - box.xyz_min[0]) / ext[0] * (sizes[0] - 1.0)
+    iy2 = (qy - box.xyz_min[1]) / ext[1] * (sizes[1] - 1.0)
+    iz2 = (qz - box.xyz_min[2]) / ext[2] * (sizes[2] - 1.0)
+    rows2x, (fz2x, fy2x, fx2x), okx = rows_fracs_cm(iz2, iy2, ix2, sizes_t)
+    keys2x = jnp.where(sel_live & okx, rows2x, r_sent_x).reshape(m2)
+    keys2x_s, iota2x_s, fxx_s, fyx_s, fzx_s = jax.lax.stop_gradient(
+        jax.lax.sort(
+            (keys2x, iota2, fx2x.reshape(m2), fy2x.reshape(m2),
+             fz2x.reshape(m2)),
+            dimension=0, num_keys=1,
+        )
+    )
+    bx0, bx1, bx2 = rows_to_coords_cm(
+        jnp.minimum(keys2x_s, r_sent_x - 1), sizes_t
+    )
+    delta_x, w8t_x, _ = tap_deltas_weights(
+        bx0, bx1, bx2, fzx_s, fyx_s, fxx_s, displace, sizes_t, axes=("z",)
+    )
+    taps_x_xs = tap_gather_sorted_cm(
+        jnp.transpose(sdf3, (2, 1, 0)), keys2x_s, delta_x,
+        jax.lax.stop_gradient(w8t_x), 4, 5,
+    )  # [2*nd, M2] in x-sorted order: (x-, x+) x D
+    from fgs_nerf_tpu.ops.sorted_cm import resort_channels
+
+    taps_x_rm = unsort_channels(
+        iota2x_s, keys2x, tuple(taps_x_xs[t] for t in range(2 * nd))
+    )
+    # ray-major -> base (z-minor) sorted order: the stable re-sort by
+    # keys2 rebuilds the exact pass-2 permutation (custom VJP routes
+    # cotangents back through iota2_s instead of an XLA scatter)
+    taps_x = resort_channels(keys2, iota2_s, taps_x_rm)
+
+    # hierarchical features (`model/nerf.py:597-637` semantics):
+    # post-clamp tap distances per axis/displacement, then finite
+    # differences; grad order (z, y, x), tap order (z-,z+,y-,y+,x-,x+)
+    iz_c = b2 - 1.0 + fz2_s
+    iy_c = b1 - 1.0 + fy2_s
+    ix_c = b0 - 1.0 + fx2_s
+    all_feat_rows = [taps_zy[t] for t in range(4 * nd)] + list(taps_x)
+
+    def tap_dist(ic, size, d):
+        hi = jnp.clip(ic + d, 0.0, size - 1.0)
+        lo = jnp.clip(ic - d, 0.0, size - 1.0)
+        dd = hi - lo
+        return jnp.where(dd > 0, dd, 1.0)
+
+    grad_rows = []  # (z, y, x) x D
+    for a, (ic, size) in enumerate(
+        ((iz_c, sizes[2]), (iy_c, sizes[1]), (ix_c, sizes[0]))
+    ):
+        for di, d in enumerate(displace):
+            neg = all_feat_rows[(2 * a) * nd + di]
+            pos = all_feat_rows[(2 * a + 1) * nd + di]
+            grad_rows.append(
+                (pos - neg) / tap_dist(ic, size, d) / cfg.voxel_size
+            )
+    if cfg.use_grad_norm:
+        normed = []
+        for di in range(nd):
+            g3 = [grad_rows[a * nd + di] for a in range(3)]
+            norm = jnp.sqrt(jnp.maximum(
+                g3[0] ** 2 + g3[1] ** 2 + g3[2] ** 2, 1e-24
+            ))
+            normed.extend([g / (norm + 1e-5) for g in g3])
+        # re-interleave to (axis, d) order
+        grad_rows = [
+            normed[di * 3 + a] for a in range(3) for di in range(nd)
+        ]
+
+    # center gradient (displace == 1.0 taps, no grad norm), xyz order —
+    # the `gradient` feature + the reflection normal
+    d1 = displace.index(1.0)
+    gc = {}
+    for a, (ic, size) in enumerate(
+        ((iz_c, sizes[2]), (iy_c, sizes[1]), (ix_c, sizes[0]))
+    ):
+        neg = all_feat_rows[(2 * a) * nd + d1]
+        pos = all_feat_rows[(2 * a + 1) * nd + d1]
+        gc[a] = (pos - neg) / tap_dist(ic, size, 1.0) / cfg.voxel_size
+    gcx, gcy, gcz = gc[2], gc[1], gc[0]
+    gn2 = jnp.sqrt(jnp.maximum(gcx**2 + gcy**2 + gcz**2, 1e-24)) + 1e-7
+    nx2, ny2, nz2 = gcx / gn2, gcy / gn2, gcz / gn2
+    nn2 = jnp.sqrt(jnp.maximum(
+        nx2**2 + ny2**2 + nz2**2, float(np.finfo(np.float32).eps)
+    ))
+    nx2, ny2, nz2 = nx2 / nn2, ny2 / nn2, nz2 / nn2
+
+    rays_xyz2 = (
+        (b0 - 1.0 + fx2_s) / (sizes[0] - 1.0),
+        (b1 - 1.0 + fy2_s) / (sizes[1] - 1.0),
+        (b2 - 1.0 + fz2_s) / (sizes[2] - 1.0),
+    )
+    rgb_s3 = _shade_fine_cm(
+        params, cfg, rays_xyz2, (vx2_s, vy2_s, vz2_s), (nx2, ny2, nz2),
+        sdf2_s, k02_s, all_feat_rows, grad_rows, (gcx, gcy, gcz),
+    )
+
+    r_u, g_u, b_u = unsort_channels(
+        iota2_s, keys2, (rgb_s3[0], rgb_s3[1], rgb_s3[2])
+    )
+    rgb_ch = (r_u.reshape(n, k), g_u.reshape(n, k), b_u.reshape(n, k))
+
+    cum_w = jnp.sum(w_eff, axis=-1)
+    comp, comp_sig = [], []
+    for ch in rgb_ch:
+        comp.append(jnp.clip(
+            jnp.sum(s_weights * ch, axis=-1) + (1.0 - cum_w) * bg, 0.0, 1.0
+        ))
+        comp_sig.append(jnp.clip(
+            jnp.sum(s_weights * jax.nn.sigmoid(ch), axis=-1)
+            + (1.0 - cum_w) * bg,
+            0.0, 1.0,
+        ))
+    rgb_marched = jnp.stack(comp, axis=-1)
+    sigmoid_rgb = jnp.stack(comp_sig, axis=-1)
+    depth = jax.lax.stop_gradient(jnp.sum(w_eff * steps * dist, axis=-1))
+
+    return {
+        "rgb_marched": rgb_marched,
+        "sigmoid_rgb": sigmoid_rgb,
+        "alphainv_cum": alphainv_last,
+        "cum_weights": cum_w[..., None],
+        "depth": depth,
+        "disp": 1.0 / jnp.maximum(depth, 1e-10),
+        "weights": w_eff,
+        "ndv": ndv,
+        "live": live,
+        "valid": valid,
+        "sel_weights": s_weights,
+        "sel_rgb_ch": rgb_ch,
+        "sel_live": sel_live,
+        "overflow": overflow | sample_overflow,
+        "overflow_sample": sample_overflow,
+        "overflow_shade": overflow,
+        "s_val": s_val,
+    }
+
+
+def _shade_fine_cm(params, cfg: SDFModelConfig, rays_xyz, vd, normal, sdf,
+                   k0, all_feat_rows, grad_rows, grad_xyz):
+    """``_shade_fine`` over a channel-major sample stream: feature row
+    blocks in the EXACT channel-last concat order of the lattice head
+    (same rgbnet/refnet weights apply)."""
+    pos_f = freq_bank(cfg.posbase_pe)
+
+    def enc(parts, freqs):
+        x3 = jnp.stack(parts, axis=0)
+        xf = (x3[:, None, :] * freqs[None, :, None]).reshape(-1, x3.shape[-1])
+        return jnp.concatenate([x3, jnp.sin(xf), jnp.cos(xf)], axis=0)
+
+    feats = [k0, enc(rays_xyz, pos_f)]
+    if cfg.use_viewdir:
+        feats.append(enc(vd, freq_bank(cfg.viewbase_pe)))
+    if cfg.center_sdf:
+        feats.append(sdf[None])
+    feats.append(jnp.stack(all_feat_rows, axis=0))
+    feats.append(jnp.stack(grad_rows, axis=0))
+    feats.append(jnp.stack(grad_xyz, axis=0))
+    rgb_feat = _mlp_apply_cm(params["rgbnet"], feats, bf16=cfg.mlp_bf16)
+
+    nx, ny, nz = normal
+    vx, vy, vz = vd
+    dot2 = 2.0 * (vx * nx + vy * ny + vz * nz)
+    refl = (vx - dot2 * nx, vy - dot2 * ny, vz - dot2 * nz)
+    reflect_emb = enc(refl, freq_bank(cfg.refbase_pe))
+    out = _mlp_apply_cm(
+        params["refnet"], [rgb_feat, reflect_emb], bf16=cfg.mlp_bf16
+    )
+    return jax.nn.sigmoid(out)  # [3, M]
 
 
 def forward_coarse_sorted(

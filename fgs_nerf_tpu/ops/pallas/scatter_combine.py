@@ -60,8 +60,11 @@ def _dense_kernel(rows_ref, upd_ref, out_ref, acc, lo, a0_ref, sem):
             src = lo
         else:
             src = acc.at[pl.ds(0, block), :]
+        # a0 only ever advances by `block`; the hint lets Mosaic prove
+        # the HBM destination offset is tile-aligned (bf16 sublane
+        # packing needs 16-row alignment it cannot infer from SMEM)
         dma = pltpu.make_async_copy(
-            src, out_ref.at[pl.ds(a0, block), :], sem
+            src, out_ref.at[pl.ds(pl.multiple_of(a0, block), block), :], sem
         )
         dma.start()
         dma.wait()

@@ -44,8 +44,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _dense_cm_kernel(rows_ref, rowsc_ref, w8e_ref, w8o_ref, g_ref, out_ref,
-                     acc, a0_ref, sem):
+def _dense_cm_kernel(rows_ref, w8e_ref, w8o_ref, g_ref, out_ref,
+                     acc, lo, a0_ref, sem):
     b = pl.program_id(0)
     nb = pl.num_programs(0)
     c4 = acc.shape[0]
@@ -64,8 +64,6 @@ def _dense_cm_kernel(rows_ref, rowsc_ref, w8e_ref, w8o_ref, g_ref, out_ref,
         jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 0) * 128
         + jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 1)
     )
-    rows_col = rowsc_ref[:]  # [block, 1] (same values, sample dim on sublanes)
-    idx_col = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
 
     # per-block outer-product updates (dz = 0 / dz = 1), built in VMEM
     g_blk = g_ref[:]
@@ -77,8 +75,15 @@ def _dense_cm_kernel(rows_ref, rowsc_ref, w8e_ref, w8o_ref, g_ref, out_ref,
     ).reshape(c4, block).astype(jnp.bfloat16)
 
     def flush(a0):
+        # fp32 VMEM accumulation; a narrower out dtype (the fine-stage
+        # 256^3 memory valve) rounds each dense row once at flush
+        if lo is not None:
+            lo[:] = acc[:, pl.ds(0, block)].astype(lo.dtype)
+            src = lo
+        else:
+            src = acc.at[:, pl.ds(0, block)]
         dma = pltpu.make_async_copy(
-            acc.at[:, pl.ds(0, block)], out_ref.at[a0 // block], sem
+            src, out_ref.at[a0 // block], sem
         )
         dma.start()
         dma.wait()
@@ -98,13 +103,22 @@ def _dense_cm_kernel(rows_ref, rowsc_ref, w8e_ref, w8o_ref, g_ref, out_ref,
         a0 = jax.lax.while_loop(
             lambda a: w - a >= 2 * block - 1, flush, a0
         )
-        serve_col = (idx_col >= f) & (rows_col < a0 + 2 * block - 1)
-        loc = jnp.where(serve_col, rows_col - a0, -2)  # [block, 1]
-        iota_r = jax.lax.broadcasted_iota(
-            jnp.int32, (block, 2 * block), 1
+        serve2 = unserved & (rows2 < a0 + 2 * block - 1)  # [sub, 128]
+        loc2 = jnp.where(serve2, rows2 - a0, -2)
+        # one-hot straight from the natural [sub, 128] tile: the
+        # 3-D iota puts rows on the minor (2B, lane-aligned) dim and
+        # the contiguous reshape restores [B(s), 2B(r)] — the previous
+        # [B, 1] column input physically lane-padded to 512 B/sample in
+        # HBM (2 GB at the fine stream)
+        iota3 = jax.lax.broadcasted_iota(
+            jnp.int32, (sub, 128, 2 * block), 2
         )
-        oh0 = (iota_r == loc).astype(jnp.bfloat16)       # [B(s), 2B(r)]
-        oh1 = (iota_r == loc + 1).astype(jnp.bfloat16)
+        oh0 = (iota3 == loc2[:, :, None]).astype(jnp.bfloat16).reshape(
+            block, 2 * block
+        )
+        oh1 = (iota3 == (loc2 + 1)[:, :, None]).astype(
+            jnp.bfloat16
+        ).reshape(block, 2 * block)
         contrib = jax.lax.dot_general(
             upd0, oh0, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -114,7 +128,7 @@ def _dense_cm_kernel(rows_ref, rowsc_ref, w8e_ref, w8o_ref, g_ref, out_ref,
         )  # [4C, 2B]
         acc[:, :] += contrib
         # rows are sorted, so the served set is the contiguous run at f
-        return f + jnp.sum(serve_col.astype(jnp.int32)), a0
+        return f + jnp.sum(serve2.astype(jnp.int32)), a0
 
     _, a0 = jax.lax.while_loop(cond, body, (jnp.int32(0), a0_ref[0]))
     a0_ref[0] = a0
@@ -126,7 +140,7 @@ def _dense_cm_kernel(rows_ref, rowsc_ref, w8e_ref, w8o_ref, g_ref, out_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_rows_cap", "block", "interpret")
+    jax.jit, static_argnames=("n_rows_cap", "block", "interpret", "out_dtype")
 )
 def dense_accumulate_cm_pallas(
     rows: jnp.ndarray,  # [M] s32 non-decreasing, rows + 1 < n_rows_cap
@@ -135,9 +149,14 @@ def dense_accumulate_cm_pallas(
     n_rows_cap: int,
     block: int = 512,
     interpret: bool = False,  # run the kernel body on CPU (CI parity tests)
+    out_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """D[k2*C+c, row + dz] += w8[2 k2 + dz, s] * g[c, s]; returns
-    [4C, cap] f32 channel-major (half-pack row space)."""
+    [4C, cap] channel-major (half-pack row space).
+
+    ``out_dtype=bfloat16`` halves the dense buffer (fp32 VMEM
+    accumulation, one rounding per row at flush) — the memory valve for
+    fine-stage 256^3 grids whose f32 buffer is ~6 GB."""
     c = g.shape[0]
     c4 = 4 * c
     m = rows.shape[0]
@@ -155,7 +174,6 @@ def dense_accumulate_cm_pallas(
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, block // 128, 128), lambda b: (b, 0, 0)),
-            pl.BlockSpec((block, 1), lambda b: (b, 0)),
             pl.BlockSpec((4, block), lambda b: (0, b)),
             pl.BlockSpec((4, block), lambda b: (0, b)),
             pl.BlockSpec((c, block), lambda b: (0, b)),
@@ -163,19 +181,27 @@ def dense_accumulate_cm_pallas(
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((c4, 2 * block), jnp.float32),
+        ] + (
+            [pltpu.VMEM((c4, block), out_dtype)]
+            if out_dtype != jnp.float32 else []
+        ) + [
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
     )
+    kernel = _dense_cm_kernel if out_dtype != jnp.float32 else (
+        lambda r, we, wo, gr, o, acc, a0, sem: _dense_cm_kernel(
+            r, we, wo, gr, o, acc, None, a0, sem
+        )
+    )
     out = pl.pallas_call(
-        _dense_cm_kernel,
+        kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((cap // block, c4, block), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((cap // block, c4, block), out_dtype),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(
         rows.reshape(nb, block // 128, 128),
-        rows.reshape(mp, 1),
         w8[0::2].astype(jnp.float32),
         w8[1::2].astype(jnp.float32),
         g.astype(jnp.float32),

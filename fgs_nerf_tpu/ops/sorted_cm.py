@@ -204,7 +204,16 @@ def _pack_gather_cm_bwd(bs, bw, res, g):
             dense_accumulate_cm_pallas,
         )
 
-        dense = dense_accumulate_cm_pallas(keys_c, w8_sorted, g, r)
+        # fine-stage 256^3 valve: the [4C, r] f32 dense buffer is ~6 GB
+        # and two of them can be live across the two serve backwards —
+        # flush bf16 past 2 GiB (one rounding per row; the in-kernel
+        # updates are already bf16)
+        out_dtype = (
+            jnp.bfloat16 if 4 * c * r * 4 > (2 << 30) else jnp.float32
+        )
+        dense = dense_accumulate_cm_pallas(
+            keys_c, w8_sorted, g, r, out_dtype=out_dtype
+        )
     else:
         from fgs_nerf_tpu.ops.pallas.scatter_combine_cm import (
             dense_accumulate_cm_reference,
@@ -231,6 +240,219 @@ def _pack_gather_cm_bwd(bs, bw, res, g):
 
 
 pack_gather_sorted_cm.defvjp(_pack_gather_cm_fwd, _pack_gather_cm_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Multi-tap serve (fine-stage hierarchical taps, `model/nerf.py:597-637`)
+# ---------------------------------------------------------------------------
+
+
+def tap_bounds(grid_shape3) -> Tuple[int, int]:
+    """(maxneg, maxpos) row-offset envelope of displacement-<=2 taps in
+    the z-minor row space: z-taps span [-3, +3]; y-taps span
+    [-3*zp, 2*zp + 1] (the +1 is the dz pair's second row)."""
+    zp = z_stride(grid_shape3[2])
+    return 3 * zp + 4, 2 * zp + 4
+
+
+def tap_deltas_weights(b0, b1, b2, fx, fy, fz, displace, grid_shape3,
+                       axes=("z", "y")):
+    """Per-tap row offsets, (t, d, k2)-packed corner weights, and
+    post-clamp displaced-axis coordinates for axis taps of a z-minor
+    sorted stream.
+
+    Inputs are the padded base coords ([M] f32, from
+    ``rows_to_coords_cm``) and fracs of the sorted stream.  Taps are
+    ordered (axis-, axis+) per requested axis, x displacement
+    (tap-major) — the reference's ``sample_sdfs`` ordering restricted
+    to the requested axes.  X-axis taps are obtained by calling this on
+    the TRANSPOSED ([Z, Y, X]) linearization with permuted arguments
+    and ``axes=('z',)``: there the minor axis is x, and the pack groups
+    are (dz, dy).  Tap coordinates are clamped to [0, size - 1] per the
+    reference (`model/nerf.py:597-637` clip) before row/frac
+    derivation.
+
+    Weight semantics — the half-pack group of a row covers offsets
+    (a, b) over the two MAJOR axes and the dz pair (kernel's d) covers
+    the minor axis:
+
+    * minor-axis tap ("z"): lerp runs over the tap's own minor frac;
+      group weights are the sample's (fx, fy).
+    * middle-axis tap ("y"): the row jumps whole minor strides; group
+      dim b indexes the TAP's y cell (frac fy'), lerp runs over the
+      sample's own minor frac fz.
+
+    Returns (delta [T, M] i32, w8t [8T, M] f32, coord [T, M] f32) with
+    T = 2 * len(axes) * len(displace).
+    """
+    x, y, z = grid_shape3
+    zp = z_stride(z)
+    iy = b1 - 1.0 + fy
+    iz = b2 - 1.0 + fz
+    wx0, wx1 = 1.0 - fx, fx
+    wy0, wy1 = 1.0 - fy, fy
+
+    deltas, w8ts, coords = [], [], []
+
+    def emit(delta, wa0, wa1, wb0, wb1, flerp, coord):
+        deltas.append(delta.astype(jnp.int32))
+        f0, f1 = 1.0 - flerp, flerp
+        # (d, k2) layout: d slowest within the tap, k2 = a*2 + b
+        w8ts.extend([
+            f0 * wa0 * wb0, f0 * wa0 * wb1, f0 * wa1 * wb0, f0 * wa1 * wb1,
+            f1 * wa0 * wb0, f1 * wa0 * wb1, f1 * wa1 * wb0, f1 * wa1 * wb1,
+        ])
+        coords.append(coord)
+
+    for axis in axes:
+        for sign in (-1.0, 1.0):
+            for d in displace:
+                if axis == "z":
+                    zt = jnp.clip(iz + sign * d, 0.0, z - 1.0)
+                    i0 = jnp.floor(zt)
+                    emit((i0 + 1.0) - b2, wx0, wx1, wy0, wy1, zt - i0, zt)
+                elif axis == "y":
+                    yt = jnp.clip(iy + sign * d, 0.0, y - 1.0)
+                    i0 = jnp.floor(yt)
+                    fyt = yt - i0
+                    emit(((i0 + 1.0) - b1) * zp, wx0, wx1, 1.0 - fyt, fyt,
+                         fz, yt)
+                else:
+                    raise ValueError(axis)
+
+    return (
+        jnp.stack(deltas, axis=0),
+        jnp.stack(w8ts, axis=0),
+        jnp.stack(coords, axis=0),
+    )
+
+
+def _tap_geometry(grid_shape3, maxneg, maxpos, bs, bw):
+    """Shared row-space bookkeeping for the tap serve + its VJP."""
+    r = padded_rows_cm(grid_shape3)
+    margin = ((maxneg + 127) // 128) * 128
+    rp = margin + r + maxpos + 2
+    rp = ((rp + bw - 1) // bw) * bw
+    sentinel = rp - maxpos - 2
+    return r, margin, rp, sentinel
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def tap_gather_sorted_cm(field3, keys_sorted, delta, w8t,
+                         maxneg, maxpos, bs=1024, bw=None):
+    """Multi-tap trilinear serve of a row-sorted stream over a
+    1-channel grid — the sorted-engine form of the reference's
+    ``sample_sdfs`` tap sampler (`model/nerf.py:597-637`).
+
+    field3: [X, Y, Z] (the grid the taps read; transposed for the
+    x-minor pass); keys_sorted: [M] non-decreasing z-minor rows
+    (sentinels >= padded_rows_cm serve zeros); delta: [T, M] per-tap
+    row offsets within the (maxneg, maxpos) envelope; w8t: [8T, M]
+    (t, d, k2)-packed corner weights.  Returns [T, M] f32.
+
+    Custom VJP: the grid cotangent runs the multi-tap dense accumulate
+    (deposits at ``row + delta (+d)``) followed by the same 4-shift
+    half-pack combine as the base gather.  delta / w8t / key cotangents
+    are zero (tap positions are data).
+    """
+    return _tap_gather_fwd_impl(field3, keys_sorted, delta, w8t,
+                                maxneg, maxpos, bs, bw)
+
+
+def _tap_bw(maxneg, maxpos, bw):
+    if bw is not None:
+        return bw
+    need = maxneg + maxpos + 130
+    return max(512, ((need + 127) // 128) * 128)
+
+
+def _tap_gather_fwd_impl(field3, keys_sorted, delta, w8t, maxneg, maxpos,
+                         bs, bw):
+    grid3 = field3.shape
+    bw = _tap_bw(maxneg, maxpos, bw)
+    r, margin, rp, sentinel = _tap_geometry(grid3, maxneg, maxpos, bs, bw)
+    pack = build_cell_pack_cm(field3[None], r)  # [4, r]
+    pack = jnp.pad(pack, ((0, 0), (margin, rp - margin - r)))
+    # shift into the margined row space; sentinels move to the zero tail
+    rows = jnp.where(keys_sorted < r, keys_sorted + margin, sentinel)
+    m = rows.shape[0]
+    pad = (-m) % bs
+    if pad:
+        rows = jnp.concatenate(
+            [rows, jnp.full((pad,), sentinel, rows.dtype)]
+        )
+        delta = jnp.pad(delta, ((0, 0), (0, pad)))
+        w8t = jnp.pad(w8t, ((0, 0), (0, pad)))
+    if _use_pallas_combine():
+        from fgs_nerf_tpu.ops.pallas.tap_serve_cm import (
+            tap_window_serve_cm_pallas,
+        )
+
+        out = tap_window_serve_cm_pallas(
+            pack, rows, delta, w8t, maxneg, maxpos, bs=bs, bw=bw
+        )
+    else:
+        from fgs_nerf_tpu.ops.pallas.tap_serve_cm import (
+            tap_window_serve_cm_reference,
+        )
+
+        out = tap_window_serve_cm_reference(pack, rows, delta, w8t)
+    return out[:, :m] if pad else out
+
+
+def _tap_gather_fwd(field3, keys_sorted, delta, w8t, maxneg, maxpos, bs, bw):
+    out = _tap_gather_fwd_impl(field3, keys_sorted, delta, w8t,
+                               maxneg, maxpos, bs, bw)
+    return out, (field3.shape, keys_sorted, delta, w8t)
+
+
+def _tap_gather_bwd(maxneg, maxpos, bs, bw, res, g):
+    grid3, keys_sorted, delta, w8t = res
+    x, y, z = grid3
+    zp = z_stride(z)
+    bw = _tap_bw(maxneg, maxpos, bw)
+    r, margin, rp, _ = _tap_geometry(grid3, maxneg, maxpos, bs, bw)
+    cap = margin + r + maxpos + 2
+    # backward sentinel: zero-weight deposits parked just past the real
+    # rows but INSIDE the accumulate's flush range (cap), so the final
+    # flush loop never DMAs past the output
+    rows = jnp.where(keys_sorted < r, keys_sorted + margin,
+                     cap - maxpos - 2)
+    if _use_pallas_combine():
+        from fgs_nerf_tpu.ops.pallas.tap_serve_cm import (
+            tap_dense_accumulate_cm_pallas,
+        )
+
+        out_dtype = (
+            jnp.bfloat16 if 4 * cap * 4 > (256 << 20) else jnp.float32
+        )
+        dense = tap_dense_accumulate_cm_pallas(
+            rows, delta, w8t, g, cap, maxneg, maxpos, block=512,
+            out_dtype=out_dtype,
+        )
+    else:
+        from fgs_nerf_tpu.ops.pallas.tap_serve_cm import (
+            tap_dense_accumulate_cm_reference,
+        )
+
+        dense = tap_dense_accumulate_cm_reference(rows, delta, w8t, g, cap)
+    dense = dense[:, margin:margin + r].reshape(4, 1, x + 2, y + 2, zp)
+    dfield = jnp.zeros((1, x, y, z), jnp.float32)
+    for k2, (da, db) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+        sa, sb = 1 - da, 1 - db
+        dfield = dfield + jax.lax.slice(
+            dense, (k2, 0, sa, sb, 1),
+            (k2 + 1, 1, sa + x, sb + y, 1 + z),
+        )[0]
+    return (
+        dfield[0],
+        np.zeros(keys_sorted.shape, jax.dtypes.float0),
+        np.zeros(delta.shape, jax.dtypes.float0),
+        jnp.zeros_like(w8t),
+    )
+
+
+tap_gather_sorted_cm.defvjp(_tap_gather_fwd, _tap_gather_bwd)
 
 
 def _unsort_ch_impl(iota_sorted, vals):
@@ -269,3 +491,40 @@ def _unsort_ch_bwd(res, g):
 
 
 unsort_channels.defvjp(_unsort_ch_fwd, _unsort_ch_bwd)
+
+
+def _resort_ch_impl(keys_raymajor, vals):
+    return tuple(
+        jax.lax.sort((keys_raymajor, *vals), dimension=0, num_keys=1)[1:]
+    )
+
+
+@jax.custom_vjp
+def resort_channels(keys_raymajor, iota_sorted, vals: Tuple[jnp.ndarray, ...]):
+    """Bring ray-major 1-D channels INTO the sorted order of a stable
+    key sort (the inverse of ``unsort_channels``).
+
+    keys_raymajor: [M] i32 — the original key array whose stable sort
+    defines the order; iota_sorted: [M] i32 — that sort's iota payload
+    (each sorted position's ray-major origin), used by the VJP to send
+    cotangents back without an XLA scatter.  Returns the tuple in
+    sorted order.
+    """
+    return _resort_ch_impl(keys_raymajor, vals)
+
+
+def _resort_ch_fwd(keys_raymajor, iota_sorted, vals):
+    return _resort_ch_impl(keys_raymajor, vals), (iota_sorted,)
+
+
+def _resort_ch_bwd(res, g):
+    (iota_sorted,) = res
+    g_rm = jax.lax.sort((iota_sorted, *g), dimension=0, num_keys=1)[1:]
+    return (
+        np.zeros(iota_sorted.shape, jax.dtypes.float0),
+        np.zeros(iota_sorted.shape, jax.dtypes.float0),
+        tuple(g_rm),
+    )
+
+
+resort_channels.defvjp(_resort_ch_fwd, _resort_ch_bwd)

@@ -72,7 +72,7 @@ def _make_forward_fn(cfg_model, box, near, bg, gather_fn, mesh):
     if mesh is not None and "dp" in mesh.axis_names:
         dp_size = int(mesh.shape["dp"])
     use_shmap = (
-        cfg_model.engine == "sorted" and not cfg_model.is_fine
+        cfg_model.engine == "sorted"
         and gather_fn is None and dp_size > 1
     )
     if not use_shmap:

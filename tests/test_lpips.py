@@ -37,8 +37,39 @@ def weights_env(tmp_path, monkeypatch):
     _CACHE.clear()
 
 
+def test_no_weights_uses_fallback_with_warning(monkeypatch):
+    """VERDICT r4 item 4: without FGS_LPIPS_WEIGHTS the metric must
+    still be USABLE — the deterministic random-feature fallback kicks
+    in with a loud warning (reference `model/evaluation.py:59-74`
+    always produces the metric)."""
+    monkeypatch.delenv("FGS_LPIPS_WEIGHTS", raising=False)
+    monkeypatch.delenv("FGS_LPIPS_FALLBACK", raising=False)
+    _CACHE.clear()
+    rng = np.random.default_rng(1)
+    a = rng.uniform(size=(36, 36, 3)).astype(np.float32)
+    b = np.clip(a + rng.normal(scale=0.25, size=a.shape), 0, 1).astype(
+        np.float32
+    )
+    with pytest.warns(UserWarning, match="RANDOM-FEATURE fallback"):
+        same = lpips_native(a, a)
+    diff = lpips_native(a, b)
+    assert same == 0.0
+    assert diff is not None and diff > 0.0
+    # deterministic: a fresh cache reproduces the value bit-for-bit
+    val1 = float(diff)
+    _CACHE.clear()
+    with pytest.warns(UserWarning):
+        assert float(lpips_native(a, b)) == val1
+    # the full resolver serves the fallback too
+    _CACHE.clear()
+    with pytest.warns(UserWarning):
+        assert metrics_lib.rgb_lpips(a, b, "alex") == val1
+    _CACHE.clear()
+
+
 def test_gate_off_returns_none(monkeypatch):
     monkeypatch.delenv("FGS_LPIPS_WEIGHTS", raising=False)
+    monkeypatch.setenv("FGS_LPIPS_FALLBACK", "0")
     _CACHE.clear()
     rng = np.random.default_rng(1)
     a = rng.uniform(size=(36, 36, 3)).astype(np.float32)

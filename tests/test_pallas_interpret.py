@@ -159,6 +159,28 @@ def test_dense_accumulate_cm_gaps_and_duplicates():
                   cap)
 
 
+def test_dense_accumulate_cm_bf16_flush():
+    """The cm accumulate's bf16-flush variant (fine-stage memory
+    valve): fp32 VMEM accumulation, one rounding per dense row."""
+    rng = np.random.default_rng(8)
+    m = 2 * BS
+    cap = 4 * BS
+    rows = jnp.asarray(np.sort(rng.integers(0, cap - 2, size=m))
+                       .astype(np.int32))
+    w8 = _w8(rng, m)
+    g = jnp.asarray(rng.normal(size=(C, m)).astype(np.float32))
+    got32 = dense_accumulate_cm_pallas(rows, w8, g, cap, block=BS,
+                                       interpret=True)
+    got16 = dense_accumulate_cm_pallas(rows, w8, g, cap, block=BS,
+                                       interpret=True,
+                                       out_dtype=jnp.bfloat16)
+    assert got16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got16, dtype=np.float32), np.asarray(got32),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
 def test_dense_accumulate_cm_final_tail_zeros():
     """Rows confined to the head: the final-block flush must zero-fill
     everything after them."""
@@ -206,6 +228,111 @@ def test_dense_accumulate_rowmajor_interpret():
     np.testing.assert_allclose(
         np.asarray(got_bf, dtype=np.float32), np.asarray(want),
         rtol=3e-2, atol=3e-2,
+    )
+
+
+def _tap_case(seed, m, rp, n_taps, maxneg, maxpos, spread):
+    rng = np.random.default_rng(seed)
+    rows = np.sort(
+        rng.integers(maxneg, rp - maxpos - 2, size=m)
+    ).astype(np.int32)
+    delta = rng.integers(-spread, spread + 1, size=(n_taps, m)).astype(
+        np.int32
+    )
+    # keep every tap inside the legal envelope and the row range
+    delta = np.clip(delta, -(rows[None, :] - 0), rp - maxpos - 2 - rows)
+    w8t = rng.uniform(0, 1, size=(8 * n_taps, m)).astype(np.float32)
+    pack = rng.normal(size=(4, rp)).astype(np.float32)
+    pack[:, -(maxpos + 4):] = 0.0
+    return (
+        jnp.asarray(pack).astype(jnp.bfloat16), jnp.asarray(rows),
+        jnp.asarray(delta), jnp.asarray(w8t),
+    )
+
+
+def test_tap_window_serve_interpret():
+    """Multi-tap serve kernel body vs reference: gaps, negative deltas,
+    block boundaries, slow-path slides."""
+    from fgs_nerf_tpu.ops.pallas.tap_serve_cm import (
+        tap_window_serve_cm_pallas, tap_window_serve_cm_reference,
+    )
+
+    bs, bw = 256, 512
+    maxneg, maxpos = 200, 180
+    pack, rows, delta, w8t = _tap_case(
+        11, 4 * bs, 16 * bw, 8, maxneg, maxpos, 150
+    )
+    got = tap_window_serve_cm_pallas(
+        pack, rows, delta, w8t, maxneg, maxpos, bs=bs, bw=bw, interpret=True
+    )
+    want = tap_window_serve_cm_reference(pack, rows, delta, w8t)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_tap_window_serve_interpret_gapped():
+    """Occupancy gaps force the DMA slide loop across windows."""
+    from fgs_nerf_tpu.ops.pallas.tap_serve_cm import (
+        tap_window_serve_cm_pallas, tap_window_serve_cm_reference,
+    )
+
+    bs, bw = 256, 512
+    maxneg, maxpos = 200, 180
+    rng = np.random.default_rng(12)
+    rp = 24 * bw
+    vals = np.concatenate([
+        rng.integers(maxneg, 2 * bw, size=bs),
+        rng.integers(9 * bw, 10 * bw, size=bs),
+        rng.integers(20 * bw, rp - maxpos - 2, size=bs),
+    ])
+    rows = jnp.asarray(np.sort(vals).astype(np.int32))
+    delta = jnp.asarray(
+        rng.integers(-150, 151, size=(8, 3 * bs)).astype(np.int32)
+    )
+    w8t = jnp.asarray(
+        rng.uniform(0, 1, size=(64, 3 * bs)).astype(np.float32)
+    )
+    pack = rng.normal(size=(4, rp)).astype(np.float32)
+    pack = jnp.asarray(pack).astype(jnp.bfloat16)
+    got = tap_window_serve_cm_pallas(
+        pack, rows, delta, w8t, maxneg, maxpos, bs=bs, bw=bw, interpret=True
+    )
+    want = tap_window_serve_cm_reference(pack, rows, delta, w8t)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_tap_dense_accumulate_interpret():
+    """Multi-tap accumulate kernel body vs reference (deposits at
+    row + delta (+dz), sliding window, final-tail flush)."""
+    from fgs_nerf_tpu.ops.pallas.tap_serve_cm import (
+        tap_dense_accumulate_cm_pallas, tap_dense_accumulate_cm_reference,
+    )
+
+    rng = np.random.default_rng(13)
+    m = 3 * 512
+    cap = 20 * 512
+    n_taps = 8
+    maxneg, maxpos = 200, 180
+    block = 512
+    rows = np.sort(
+        rng.integers(maxneg, cap - maxpos - 2, size=m)
+    ).astype(np.int32)
+    delta = rng.integers(-150, 151, size=(n_taps, m)).astype(np.int32)
+    w8t = rng.uniform(0, 1, size=(8 * n_taps, m)).astype(np.float32)
+    g = rng.normal(size=(n_taps, m)).astype(np.float32)
+    got = tap_dense_accumulate_cm_pallas(
+        jnp.asarray(rows), jnp.asarray(delta), jnp.asarray(w8t),
+        jnp.asarray(g), cap, maxneg, maxpos, block=block, interpret=True,
+    )
+    want = tap_dense_accumulate_cm_reference(
+        jnp.asarray(rows), jnp.asarray(delta), jnp.asarray(w8t),
+        jnp.asarray(g), cap,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2
     )
 
 
