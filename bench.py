@@ -69,7 +69,9 @@ def _time_step(step, params, opt_state, buffers, batch, s_val, lrs, tv_on,
             params, opt_state, buffers, *batch, s_val, lrs, tv_on
         )
     jax.block_until_ready(metrics["loss"])
-    return (time.perf_counter() - t0) / n_iters
+    # params/opt_state are donated by the jitted step — return the live
+    # final state so callers can keep using it (e.g. the breakdown trace)
+    return (time.perf_counter() - t0) / n_iters, params, opt_state
 
 
 def main():
@@ -187,7 +189,9 @@ def main():
     s_val = jnp.asarray(0.2, jnp.float32)
     tv_on = jnp.asarray(1.0, jnp.float32)
 
-    dt = _time_step(step, params, opt_state, {}, batch, s_val, lrs, tv_on)
+    dt, params, opt_state = _time_step(
+        step, params, opt_state, {}, batch, s_val, lrs, tv_on
+    )
 
     rays_per_s = N_RAND / dt
     if mesh is not None:
@@ -242,6 +246,81 @@ def main():
         _fine_workload(args.engine, to_stderr=True)
     except Exception as e:  # noqa: BLE001 — same isolation as above
         print(f"fine-stage variant skipped: {e!r}", file=sys.stderr)
+
+    try:
+        _breakdown_variant(step, params, opt_state, batch, s_val, lrs, tv_on)
+    except Exception as e:  # noqa: BLE001 — same isolation as above
+        print(f"breakdown variant skipped: {e!r}", file=sys.stderr)
+
+
+# VERDICT r4 item 8: a driver-visible device-time breakdown so
+# COMPOSITION regressions (a sort growing, a kernel silently hitting a
+# slow path) are visible without a manual profiling session.
+_BUCKETS = (
+    ("sort", ("sort",)),
+    ("serve", ("window_gather", "window_serve", "tap_window",
+               "jvp_jit_tap", "jvp_jit_sorted")),
+    ("accumulate", ("dense_accumulate", "scatter")),
+    ("mlp", ("fused_shade", "dot", "dot_general")),
+)
+
+
+def _breakdown_variant(step, params, opt_state, batch, s_val, lrs, tv_on):
+    """Trace 2 steps; aggregate device op time into coarse buckets."""
+    import glob as _glob
+    import gzip
+    from collections import defaultdict
+
+    import jax
+
+    logdir = "/tmp/fgs_bench_trace"
+    import shutil
+
+    shutil.rmtree(logdir, ignore_errors=True)
+    jax.profiler.start_trace(logdir, create_perfetto_trace=True)
+    for _ in range(2):
+        params, opt_state, metrics = step(
+            params, opt_state, {}, *batch, s_val, lrs, tv_on
+        )
+    jax.block_until_ready(metrics["loss"])
+    jax.profiler.stop_trace()
+
+    paths = _glob.glob(f"{logdir}/**/*.trace.json.gz", recursive=True)
+    if not paths:
+        return
+    with gzip.open(paths[0], "rt") as f:
+        trace = json.load(f)
+    pid_names = {}
+    for ev in trace.get("traceEvents", []):
+        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+            pid_names[ev["pid"]] = ev["args"].get("name", "")
+    totals = defaultdict(float)
+    step_total = 0.0
+    for ev in trace.get("traceEvents", []):
+        if ev.get("ph") != "X" or "dur" not in ev:
+            continue
+        if "TPU" not in pid_names.get(ev.get("pid"), ""):
+            continue
+        name = ev["name"]
+        if name.startswith("jit_step_fn"):
+            step_total += ev["dur"]
+            continue
+        for bucket, pats in _BUCKETS:
+            if any(p in name for p in pats):
+                totals[bucket] += ev["dur"]
+                break
+        else:
+            totals["other"] += ev["dur"]
+    if step_total <= 0:
+        return
+    shares = {
+        k: round(v / 2e3, 2) for k, v in sorted(totals.items())
+    }
+    print(json.dumps({
+        "metric": "train_step_breakdown_ms",
+        "device_step_ms": round(step_total / 2e3, 2),
+        **shares,
+    }), file=sys.stderr)
 
 
 def _fine_workload(engine_override=None, to_stderr=True):
@@ -311,7 +390,7 @@ def _fine_workload(engine_override=None, to_stderr=True):
     target = rng.uniform(size=(N_RAND, 3)).astype(np.float32)
     batch = tuple(jnp.asarray(a) for a in (rays_o, rays_d, viewdirs, target))
 
-    dt = _time_step(
+    dt, _, _ = _time_step(
         step, params, init_state(params), {}, batch,
         jnp.asarray(0.05, jnp.float32), lrs, jnp.asarray(1.0, jnp.float32),
         n_warmup=2, n_iters=6,
@@ -357,7 +436,7 @@ def _ckpt_workload_variant(ckpt_path, cfg, box, loss_w, opts, batch, s_val,
         use_nonempty_mask=False,
     )
     params_ck = M.init_params(jax.random.PRNGKey(0), cfg_ck)
-    dt_ck = _time_step(
+    dt_ck, _, _ = _time_step(
         step_ck, params_ck, init_state(params_ck), buffers, batch,
         s_val, lrs, tv_on,
     )

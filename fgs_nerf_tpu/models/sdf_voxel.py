@@ -1166,8 +1166,14 @@ def forward_fine_sorted(
             )
         )
     )
+    # sparse-stream block size: the serve's one-hot volume is
+    # row-span x bs x one-hots, and the fine lattice at >=128^3 is a
+    # SPARSE stream (row space >> samples) — smaller blocks cut the
+    # compare volume linearly (the coarse bench stream is dense and
+    # keeps the 1024 default)
+    bs1 = 512 if np.prod(sizes) > m else 1024
     w8_s = corner_weights_cm(fx_s, fy_s, fz_s)
-    samp = pack_gather_sorted_cm(field_cm, keys_s, w8_s)
+    samp = pack_gather_sorted_cm(field_cm, keys_s, w8_s, bs1)
     sdf_s = samp[0]
     gx, gy, gz = samp[1], samp[2], samp[3]
 
@@ -1228,8 +1234,9 @@ def forward_fine_sorted(
             )
         )
     )
+    bs2 = 256 if np.prod(sizes) > m2 else 1024
     w82_s = corner_weights_cm(fx2_s, fy2_s, fz2_s)
-    samp2 = pack_gather_sorted_cm(field_cm, keys2_s, w82_s)
+    samp2 = pack_gather_sorted_cm(field_cm, keys2_s, w82_s, bs2)
     sdf2_s = samp2[0]
     k02_s = samp2[4:]
 
@@ -1243,7 +1250,8 @@ def forward_fine_sorted(
         b0, b1, b2, fx2_s, fy2_s, fz2_s, displace, sizes, axes=("z", "y")
     )
     taps_zy = tap_gather_sorted_cm(
-        sdf3, keys2_s, delta_zy, jax.lax.stop_gradient(w8t_zy), mn_zy, mp_zy
+        sdf3, keys2_s, delta_zy, jax.lax.stop_gradient(w8t_zy), mn_zy, mp_zy,
+        bs2,
     )  # [4*nd, M2]: (z-, z+, y-, y+) x D
 
     # x taps: x-minor linearization of the transposed grid
@@ -1269,7 +1277,7 @@ def forward_fine_sorted(
     )
     taps_x_xs = tap_gather_sorted_cm(
         jnp.transpose(sdf3, (2, 1, 0)), keys2x_s, delta_x,
-        jax.lax.stop_gradient(w8t_x), 4, 5,
+        jax.lax.stop_gradient(w8t_x), 4, 5, bs2,
     )  # [2*nd, M2] in x-sorted order: (x-, x+) x D
     from fgs_nerf_tpu.ops.sorted_cm import resort_channels
 

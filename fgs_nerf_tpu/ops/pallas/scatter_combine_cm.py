@@ -44,8 +44,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _dense_cm_kernel(rows_ref, w8e_ref, w8o_ref, g_ref, out_ref,
+def _dense_cm_kernel(rows_ref, w8e_ref, w8o_ref, g_ref, zeros_ref, out_ref,
                      acc, lo, a0_ref, sem):
+    del zeros_ref  # aliased INTO out_ref (pre-zeroed skip regions)
     b = pl.program_id(0)
     nb = pl.num_programs(0)
     c4 = acc.shape[0]
@@ -99,6 +100,16 @@ def _dense_cm_kernel(rows_ref, w8e_ref, w8o_ref, g_ref, out_ref,
         f, a0 = carry
         unserved = idx2 >= f
         w = jnp.min(jnp.where(unserved, rows2, 2**30))
+        # TELEPORT over large occupancy gaps (see tap_serve_cm): flush
+        # the dirty window, then jump — skipped rows stay at the
+        # pre-zeroed aliased output.  Inert on dense streams.
+        def teleport(a0):
+            a0 = jax.lax.while_loop(lambda a: a < a0 + 2 * block, flush, a0)
+            return (w // block) * block
+
+        a0 = jax.lax.cond(
+            w >= a0 + 3 * block, teleport, lambda a: a, a0
+        )
         # slide until rows w and w + 1 both fit the 2B window at a0
         a0 = jax.lax.while_loop(
             lambda a: w - a >= 2 * block - 1, flush, a0
@@ -133,10 +144,13 @@ def _dense_cm_kernel(rows_ref, w8e_ref, w8o_ref, g_ref, out_ref,
     _, a0 = jax.lax.while_loop(cond, body, (jnp.int32(0), a0_ref[0]))
     a0_ref[0] = a0
 
-    # final block: flush the remaining coverage (zeros fill the tail)
+    # final block: flush only the dirty window (the zero-aliased
+    # output already covers the tail)
     @pl.when(b == nb - 1)
     def _():
-        jax.lax.while_loop(lambda a: a < cap, flush, a0)
+        jax.lax.while_loop(
+            lambda a: a < jnp.minimum(a0 + 2 * block, cap), flush, a0
+        )
 
 
 @functools.partial(
@@ -177,6 +191,7 @@ def dense_accumulate_cm_pallas(
             pl.BlockSpec((4, block), lambda b: (0, b)),
             pl.BlockSpec((4, block), lambda b: (0, b)),
             pl.BlockSpec((c, block), lambda b: (0, b)),
+            pl.BlockSpec(memory_space=pl.ANY),  # zero-aliased output
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
@@ -190,8 +205,8 @@ def dense_accumulate_cm_pallas(
         ],
     )
     kernel = _dense_cm_kernel if out_dtype != jnp.float32 else (
-        lambda r, we, wo, gr, o, acc, a0, sem: _dense_cm_kernel(
-            r, we, wo, gr, o, acc, None, a0, sem
+        lambda r, we, wo, gr, z, o, acc, a0, sem: _dense_cm_kernel(
+            r, we, wo, gr, z, o, acc, None, a0, sem
         )
     )
     out = pl.pallas_call(
@@ -200,11 +215,13 @@ def dense_accumulate_cm_pallas(
         out_shape=jax.ShapeDtypeStruct((cap // block, c4, block), out_dtype),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
+        input_output_aliases={4: 0},
     )(
         rows.reshape(nb, block // 128, 128),
         w8[0::2].astype(jnp.float32),
         w8[1::2].astype(jnp.float32),
         g.astype(jnp.float32),
+        jnp.zeros((cap // block, c4, block), out_dtype),
     )
     # [cap//B, c4, B] -> [c4, cap]: a major-dim permutation (the
     # (sublane, lane) tiling is untouched) followed by a free merge —

@@ -236,8 +236,9 @@ def _make_tap_acc_kernel(n_taps: int, maxneg: int, maxpos: int, win: int,
     one-hot [block, win] must stay inside the scoped-VMEM stack (a
     [2B, 2B] coupling at B~2048 was 16+ MB per one-hot and OOMed)."""
 
-    def kernel(rows_ref, delta_ref, w8t_ref, g_ref, out_ref,
+    def kernel(rows_ref, delta_ref, w8t_ref, g_ref, zeros_ref, out_ref,
                acc, *rest):
+        del zeros_ref  # aliased INTO out_ref (pre-zeroed skip regions)
         if out_dtype is not None:
             lo, a0_ref, sem = rest
         else:
@@ -288,6 +289,20 @@ def _make_tap_acc_kernel(n_taps: int, maxneg: int, maxpos: int, win: int,
             f, a0 = carry
             unserved = idx2 >= f
             w = jnp.min(jnp.where(unserved, rows2, 2**30))
+            # TELEPORT over large occupancy gaps: once the whole live
+            # window is strictly behind the next deposit span, flush the
+            # dirty rows and JUMP a0 — skipped rows stay at the
+            # pre-zeroed aliased output, so sparse streams pay flush
+            # DMAs only for touched windows, not cap/block of them.
+            def teleport(a0):
+                a0 = jax.lax.while_loop(
+                    lambda a: a < a0 + win, flush, a0
+                )
+                return ((w - maxneg) // block) * block
+
+            a0 = jax.lax.cond(
+                w - maxneg >= a0 + win + block, teleport, lambda a: a, a0
+            )
             # slide until the whole tap span of w fits the window
             a0 = jax.lax.while_loop(
                 lambda a: w + maxpos - a >= win - 1, flush, a0
@@ -324,9 +339,13 @@ def _make_tap_acc_kernel(n_taps: int, maxneg: int, maxpos: int, win: int,
         _, a0 = jax.lax.while_loop(cond, body, (jnp.int32(0), a0_ref[0]))
         a0_ref[0] = a0
 
+        # final block: flush only the DIRTY window (the zero-aliased
+        # output already covers everything else)
         @pl.when(b == nb - 1)
         def _():
-            jax.lax.while_loop(lambda a: a < cap, flush, a0)
+            jax.lax.while_loop(
+                lambda a: a < jnp.minimum(a0 + win, cap), flush, a0
+            )
 
     return kernel
 
@@ -344,7 +363,7 @@ def tap_dense_accumulate_cm_pallas(
     n_rows_cap: int,
     maxneg: int,
     maxpos: int,
-    block: int = 2048,
+    block: int = 512,
     interpret: bool = False,
     out_dtype=jnp.float32,
 ) -> jnp.ndarray:
@@ -375,6 +394,7 @@ def tap_dense_accumulate_cm_pallas(
                          lambda b: (0, b, 0, 0)),
             pl.BlockSpec((8 * n_taps, block), lambda b: (0, b)),
             pl.BlockSpec((n_taps, block), lambda b: (0, b)),
+            pl.BlockSpec(memory_space=pl.ANY),  # zero-aliased output
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
@@ -396,11 +416,13 @@ def tap_dense_accumulate_cm_pallas(
         out_shape=jax.ShapeDtypeStruct((cap // block, 4, block), out_dtype),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
+        input_output_aliases={4: 0},
     )(
         rows.reshape(nb, block // 128, 128),
         delta.reshape(n_taps, nb, block // 128, 128),
         w8t.astype(jnp.float32),
         g.astype(jnp.float32),
+        jnp.zeros((cap // block, 4, block), out_dtype),
     )
     return jnp.transpose(out, (1, 0, 2)).reshape(4, cap)[:, :n_rows_cap]
 

@@ -336,6 +336,42 @@ def test_tap_dense_accumulate_interpret():
     )
 
 
+def test_tap_dense_accumulate_teleport_gaps():
+    """Row clusters separated by gaps far larger than the window must
+    trigger the TELEPORT flush (jump over pre-zeroed regions) and still
+    produce exact deposits + zeros in the skipped spans."""
+    from fgs_nerf_tpu.ops.pallas.tap_serve_cm import (
+        tap_dense_accumulate_cm_pallas, tap_dense_accumulate_cm_reference,
+    )
+
+    rng = np.random.default_rng(14)
+    m = 512
+    cap = 400 * 512  # ~205k rows, clusters at three distant spots
+    n_taps = 8
+    maxneg, maxpos = 200, 180
+    rows = np.sort(np.concatenate([
+        rng.integers(maxneg, maxneg + 300, size=m // 4),
+        rng.integers(150_000, 150_300, size=m // 2),
+        rng.integers(200_000, 200_300, size=m - m // 4 - m // 2),
+    ])).astype(np.int32)
+    delta = rng.integers(-150, 151, size=(n_taps, m)).astype(np.int32)
+    w8t = rng.uniform(0, 1, size=(8 * n_taps, m)).astype(np.float32)
+    g = rng.normal(size=(n_taps, m)).astype(np.float32)
+    got = tap_dense_accumulate_cm_pallas(
+        jnp.asarray(rows), jnp.asarray(delta), jnp.asarray(w8t),
+        jnp.asarray(g), cap, maxneg, maxpos, block=512, interpret=True,
+    )
+    want = tap_dense_accumulate_cm_reference(
+        jnp.asarray(rows), jnp.asarray(delta), jnp.asarray(w8t),
+        jnp.asarray(g), cap,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2
+    )
+    # the skipped middle span is exactly zero
+    assert np.all(np.asarray(got)[:, 5_000:140_000] == 0.0)
+
+
 def test_corner_scatter_fold_matches_unfolded():
     """The z-fold path of ``corner_scatter_grid_grad`` (small-C memory
     valve) must reproduce the unfolded accumulation exactly: same
