@@ -349,11 +349,23 @@ def mask_cache_query(
     on TPU the row-gather floor is per-row, so this is ~8x cheaper for
     the in-render masked workloads (the ckpt-workload bench's dominant
     cost, PROFILE_r04.md §6).  ``pack_worthwhile`` falls back to the
-    plain gather for small query sets automatically."""
+    plain gather for small query sets automatically.
+
+    On TPU the pack is bf16, and ``bf16(1e-3) = 0.0009994 < 1e-3``: an
+    EXACT >= thres comparison then rejects every occupied voxel (round-5
+    regression: the coarse stage's maskcache ray filter kept 0.000 of
+    all pixels on hardware).  The bf16 path therefore compares with a
+    half-ULP slack (2^-7 relative — bf16 rounding is <= 2^-8); the CPU
+    f32 path keeps the reference's exact semantics
+    (`model/nerf.py:1207`)."""
+    from fgs_nerf_tpu.ops.interp import _use_pallas_pack
+
     box = SceneBox(mc["xyz_min"], mc["xyz_max"])
     val = trilinear_sample(
         mc["grid"], xyz, box, packed=True
     )[..., 0]
+    if _use_pallas_pack():
+        thres = thres * (1.0 - 2.0**-7)
     return val >= thres
 
 

@@ -358,6 +358,14 @@ def train_stage(
             far=float(data_dict["far"]), **conv,
         )
         log.info(f"in_maskcache ray filter kept ratio {ratio:.3f}")
+        if len(rgb_tr) < n_rand:
+            # a degenerate keep-set would crash the step with opaque
+            # shape errors; fail loudly with the actual diagnosis
+            raise ValueError(
+                f"maskcache ray filter kept only {len(rgb_tr)} rays "
+                f"(< N_rand={n_rand}) — the prior stage's sdf_mask and "
+                "the current bbox are inconsistent"
+            )
         flat = True
     elif sampler == "flatten" or sampler == "in_maskcache":
         rgb_tr, o_tr, d_tr, v_tr = ray_lib.get_training_rays_flatten(
