@@ -255,13 +255,14 @@ def main():
 
 # VERDICT r4 item 8: a driver-visible device-time breakdown so
 # COMPOSITION regressions (a sort growing, a kernel silently hitting a
-# slow path) are visible without a manual profiling session.
+# slow path) are visible without a manual profiling session.  Order
+# matters: serve patterns must win over the bare "sort" prefix
+# ("sorted_window_gather" is a serve, not a sort).
 _BUCKETS = (
-    ("sort", ("sort",)),
-    ("serve", ("window_gather", "window_serve", "tap_window",
-               "jvp_jit_tap", "jvp_jit_sorted")),
+    ("serve", ("window_gather", "window_serve", "tap_window")),
     ("accumulate", ("dense_accumulate", "scatter")),
-    ("mlp", ("fused_shade", "dot", "dot_general")),
+    ("mlp", ("fused_shade", "dot_general", "dot.")),
+    ("sort", ("sort.", "sort_")),
 )
 
 
@@ -305,8 +306,12 @@ def _breakdown_variant(step, params, opt_state, batch, s_val, lrs, tv_on):
         if name.startswith("jit_step_fn"):
             step_total += ev["dur"]
             continue
+        if name.isdigit():  # TensorCore step markers, not ops
+            continue
         for bucket, pats in _BUCKETS:
-            if any(p in name for p in pats):
+            if any(p in name for p in pats) or (
+                bucket == "sort" and name.startswith("sort")
+            ):
                 totals[bucket] += ev["dur"]
                 break
         else:

@@ -41,6 +41,10 @@ def config_parser():
     p.add_argument("--eval_lpips", default=False,
                    type=lambda s: s not in ("0", "False", "false"))
     p.add_argument("--seed", type=int, default=777)
+    p.add_argument("--resume", action="store_true",
+                   help="resume each requested stage from its saved "
+                        "mid-stage checkpoint (params, Adam moments, LR "
+                        "state, pg rung) when one exists")
     p.add_argument("--render_only", action="store_true",
                    help="do not optimize; reload weights and render the "
                         "render_poses camera path (reference run.py:116)")
@@ -122,7 +126,8 @@ def main():
             stages.append("fine")
         results = run_training(cfg, data_dict, out_dir, stages=tuple(stages),
                                mesh=mesh, dvgo_init=args.dvgo_init,
-                               i_print=args.i_print, i_validate=args.i_validate)
+                               i_print=args.i_print, i_validate=args.i_validate,
+                               resume=args.resume)
         # end-of-training eval render + mesh of the last stage
         last = results[stages[-1]]
         _evaluate(args, cfg, data_dict, out_dir, last.cfg_model, None, log,
