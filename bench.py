@@ -409,6 +409,45 @@ def _fine_workload(engine_override=None, to_stderr=True):
     })
     print(line, file=sys.stderr if to_stderr else sys.stdout)
 
+    # masked variant: real fine training always runs behind the prior
+    # stage's mask cache; occupancy (not the dense worst case) sets the
+    # realistic throughput.  Uses the newest trained checkpoint's mask.
+    try:
+        import glob as _glob
+
+        from fgs_nerf_tpu.train.checkpoint import load_checkpoint
+
+        cands = sorted(
+            _glob.glob(os.path.join("results", "*", "coarse_last.npz"))
+            + _glob.glob(
+                os.path.join("results", "*", "geometry_searching_last.npz")
+            ),
+            key=os.path.getmtime, reverse=True,
+        )
+        ck = load_checkpoint(cands[0]) if cands else None
+        if ck is not None and getattr(ck, "sdf_mask", None) is not None:
+            buffers = {
+                "mask_cache": M.build_mask_cache(
+                    jnp.asarray(ck.sdf_mask), *ck.box
+                )
+            }
+            p2 = M.init_params(jax.random.PRNGKey(0), cfg)
+            dt_m, _, _ = _time_step(
+                step, p2, init_state(p2), buffers, batch,
+                jnp.asarray(0.05, jnp.float32), lrs,
+                jnp.asarray(1.0, jnp.float32), n_warmup=2, n_iters=6,
+            )
+            print(json.dumps({
+                "metric": "train_rays_per_s_fine_masked",
+                "value": round(N_RAND / dt_m, 1),
+                "unit": "rays/s",
+                "step_ms": round(dt_m * 1e3, 2),
+                "ckpt": cands[0],
+                "vs_baseline": round(N_RAND / dt_m / REF_RAYS_PER_S, 3),
+            }), file=sys.stderr if to_stderr else sys.stdout)
+    except Exception as e:  # noqa: BLE001 — extras never break the metric
+        print(f"masked fine variant skipped: {e!r}", file=sys.stderr)
+
 
 def _ckpt_workload_variant(ckpt_path, cfg, box, loss_w, opts, batch, s_val,
                            lrs, tv_on):
