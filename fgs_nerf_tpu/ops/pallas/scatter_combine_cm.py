@@ -45,7 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _dense_cm_kernel(rows_ref, w8e_ref, w8o_ref, g_ref, zeros_ref, out_ref,
-                     acc, lo, a0_ref, sem):
+                     acc, lo, a0_ref, sem, g_sub=1):
     del zeros_ref  # aliased INTO out_ref (pre-zeroed skip regions)
     b = pl.program_id(0)
     nb = pl.num_programs(0)
@@ -59,21 +59,6 @@ def _dense_cm_kernel(rows_ref, w8e_ref, w8o_ref, g_ref, zeros_ref, out_ref,
     def _():
         acc[:] = jnp.zeros_like(acc)
         a0_ref[0] = 0
-
-    rows2 = rows_ref[0]  # [sub, 128] int32, non-decreasing in flat order
-    idx2 = (
-        jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 0) * 128
-        + jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 1)
-    )
-
-    # per-block outer-product updates (dz = 0 / dz = 1), built in VMEM
-    g_blk = g_ref[:]
-    upd0 = (
-        w8e_ref[:][:, None, :] * g_blk[None, :, :]
-    ).reshape(c4, block).astype(jnp.bfloat16)
-    upd1 = (
-        w8o_ref[:][:, None, :] * g_blk[None, :, :]
-    ).reshape(c4, block).astype(jnp.bfloat16)
 
     def flush(a0):
         # fp32 VMEM accumulation; a narrower out dtype (the fine-stage
@@ -92,69 +77,107 @@ def _dense_cm_kernel(rows_ref, w8e_ref, w8o_ref, g_ref, zeros_ref, out_ref,
         acc[:, pl.ds(block, block)] = jnp.zeros((c4, block), acc.dtype)
         return a0 + block
 
+    idx2 = (
+        jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 0) * 128
+        + jax.lax.broadcasted_iota(jnp.int32, (sub, 128), 1)
+    )
+
     def cond(carry):
         f, _ = carry
         return f < block
 
-    def body(carry):
-        f, a0 = carry
-        unserved = idx2 >= f
-        w = jnp.min(jnp.where(unserved, rows2, 2**30))
-        # TELEPORT over large occupancy gaps (see tap_serve_cm): flush
-        # the dirty window, then jump — skipped rows stay at the
-        # pre-zeroed aliased output.  Inert on dense streams.
-        def teleport(a0):
-            a0 = jax.lax.while_loop(lambda a: a < a0 + 2 * block, flush, a0)
-            return (w // block) * block
+    # g_sub sub-blocks per grid step (unrolled): amortizes the
+    # per-grid-step pipeline cost (4 small input DMAs + prologue,
+    # measured ~2-3 us/step) over g_sub serve loops while keeping the
+    # one-hot volume at the B=512 sweet spot
+    rows_all = rows_ref[0]  # [g_sub*sub, 128] i32, non-decreasing flat
+    g_all = g_ref[:]
+    w8e_all = w8e_ref[:]
+    w8o_all = w8o_ref[:]
+    a0_carry = a0_ref[0]
+    for gs in range(g_sub):
+        rows2 = rows_all[gs * sub:(gs + 1) * sub]
+        g_blk = g_all[:, gs * block:(gs + 1) * block]
+        # per-sub-block outer-product updates (dz = 0 / 1), built in VMEM
+        upd0 = (
+            w8e_all[:, gs * block:(gs + 1) * block][:, None, :]
+            * g_blk[None, :, :]
+        ).reshape(c4, block).astype(jnp.bfloat16)
+        upd1 = (
+            w8o_all[:, gs * block:(gs + 1) * block][:, None, :]
+            * g_blk[None, :, :]
+        ).reshape(c4, block).astype(jnp.bfloat16)
 
-        a0 = jax.lax.cond(
-            w >= a0 + 3 * block, teleport, lambda a: a, a0
-        )
-        # slide until rows w and w + 1 both fit the 2B window at a0
-        a0 = jax.lax.while_loop(
-            lambda a: w - a >= 2 * block - 1, flush, a0
-        )
-        serve2 = unserved & (rows2 < a0 + 2 * block - 1)  # [sub, 128]
-        loc2 = jnp.where(serve2, rows2 - a0, -2)
-        # one-hot straight from the natural [sub, 128] tile: the
-        # 3-D iota puts rows on the minor (2B, lane-aligned) dim and
-        # the contiguous reshape restores [B(s), 2B(r)] — the previous
-        # [B, 1] column input physically lane-padded to 512 B/sample in
-        # HBM (2 GB at the fine stream)
-        iota3 = jax.lax.broadcasted_iota(
-            jnp.int32, (sub, 128, 2 * block), 2
-        )
-        oh0 = (iota3 == loc2[:, :, None]).astype(jnp.bfloat16).reshape(
-            block, 2 * block
-        )
-        oh1 = (iota3 == (loc2 + 1)[:, :, None]).astype(
-            jnp.bfloat16
-        ).reshape(block, 2 * block)
-        contrib = jax.lax.dot_general(
-            upd0, oh0, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + jax.lax.dot_general(
-            upd1, oh1, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [4C, 2B]
-        acc[:, :] += contrib
-        # rows are sorted, so the served set is the contiguous run at f
-        return f + jnp.sum(serve2.astype(jnp.int32)), a0
+        def body(carry, rows2=rows2, upd0=upd0, upd1=upd1):
+            f, a0 = carry
+            unserved = idx2 >= f
+            w = jnp.min(jnp.where(unserved, rows2, 2**30))
+            # TELEPORT over large occupancy gaps (see tap_serve_cm):
+            # flush the dirty window, then jump — skipped rows stay at
+            # the pre-zeroed aliased output.  Inert on dense streams.
+            def teleport(a0):
+                a0 = jax.lax.while_loop(
+                    lambda a: a < a0 + 2 * block, flush, a0
+                )
+                return (w // block) * block
 
-    _, a0 = jax.lax.while_loop(cond, body, (jnp.int32(0), a0_ref[0]))
-    a0_ref[0] = a0
+            a0 = jax.lax.cond(
+                w >= a0 + 3 * block, teleport, lambda a: a, a0
+            )
+            # slide until rows w and w + 1 both fit the 2B window at a0
+            a0 = jax.lax.while_loop(
+                lambda a: w - a >= 2 * block - 1, flush, a0
+            )
+            serve2 = unserved & (rows2 < a0 + 2 * block - 1)  # [sub, 128]
+            loc2 = jnp.where(serve2, rows2 - a0, -2)
+            # ONE one-hot straight from the natural [sub, 128] tile: the
+            # 3-D iota puts rows on the minor (2B, lane-aligned) dim and
+            # the contiguous reshape restores [B(s), 2B(r)].  The dz = 1
+            # deposit (row loc + 1) reuses it: shift the [4C, 2B] dot
+            # RESULT right one lane — ~8x less VPU work than a second
+            # [B, 2B] compare + cast.  Column 2B - 1 of the unshifted
+            # dz = 1 product corresponds to loc = 2B - 1, which the
+            # serve predicate excludes, so dropping it is exact.
+            iota3 = jax.lax.broadcasted_iota(
+                jnp.int32, (sub, 128, 2 * block), 2
+            )
+            oh0 = (iota3 == loc2[:, :, None]).astype(jnp.bfloat16).reshape(
+                block, 2 * block
+            )
+            c0 = jax.lax.dot_general(
+                upd0, oh0, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            c1 = jax.lax.dot_general(
+                upd1, oh0, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            contrib = c0 + jnp.concatenate(
+                [jnp.zeros_like(c1[:, :1]), c1[:, :-1]], axis=1
+            )  # [4C, 2B]
+            acc[:, :] += contrib
+            # rows are sorted: the served set is the contiguous run at f
+            return f + jnp.sum(serve2.astype(jnp.int32)), a0
+
+        _, a0_carry = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), a0_carry)
+        )
+    a0_ref[0] = a0_carry
 
     # final block: flush only the dirty window (the zero-aliased
     # output already covers the tail)
     @pl.when(b == nb - 1)
     def _():
         jax.lax.while_loop(
-            lambda a: a < jnp.minimum(a0 + 2 * block, cap), flush, a0
+            lambda a: a < jnp.minimum(a0_carry + 2 * block, cap), flush,
+            a0_carry,
         )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_rows_cap", "block", "interpret", "out_dtype")
+    jax.jit,
+    static_argnames=("n_rows_cap", "block", "interpret", "out_dtype",
+                     "g_sub"),
 )
 def dense_accumulate_cm_pallas(
     rows: jnp.ndarray,  # [M] s32 non-decreasing, rows + 1 < n_rows_cap
@@ -164,33 +187,36 @@ def dense_accumulate_cm_pallas(
     block: int = 512,
     interpret: bool = False,  # run the kernel body on CPU (CI parity tests)
     out_dtype=jnp.float32,
+    g_sub: int = 4,  # 512-sample sub-blocks per grid step
 ) -> jnp.ndarray:
     """D[k2*C+c, row + dz] += w8[2 k2 + dz, s] * g[c, s]; returns
     [4C, cap] channel-major (half-pack row space).
 
     ``out_dtype=bfloat16`` halves the dense buffer (fp32 VMEM
     accumulation, one rounding per row at flush) — the memory valve for
-    fine-stage 256^3 grids whose f32 buffer is ~6 GB."""
+    fine-stage 256^3 grids whose f32 buffer is ~6 GB.  ``g_sub`` serve
+    loops share one grid step (larger, fewer input DMAs)."""
     c = g.shape[0]
     c4 = 4 * c
     m = rows.shape[0]
-    pad = (-m) % block
+    step = g_sub * block
+    pad = (-m) % step
     if pad:
         # padded samples repeat the last row with zero weights
         rows = jnp.concatenate([rows, jnp.full((pad,), rows[-1], rows.dtype)])
         w8 = jnp.pad(w8, ((0, 0), (0, pad)))
         g = jnp.pad(g, ((0, 0), (0, pad)))
     mp = rows.shape[0]
-    nb = mp // block
+    nb = mp // step
     cap = n_rows_cap + ((-n_rows_cap) % block)
 
     grid_spec = pl.GridSpec(
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, block // 128, 128), lambda b: (b, 0, 0)),
-            pl.BlockSpec((4, block), lambda b: (0, b)),
-            pl.BlockSpec((4, block), lambda b: (0, b)),
-            pl.BlockSpec((c, block), lambda b: (0, b)),
+            pl.BlockSpec((1, step // 128, 128), lambda b: (b, 0, 0)),
+            pl.BlockSpec((4, step), lambda b: (0, b)),
+            pl.BlockSpec((4, step), lambda b: (0, b)),
+            pl.BlockSpec((c, step), lambda b: (0, b)),
             pl.BlockSpec(memory_space=pl.ANY),  # zero-aliased output
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -204,11 +230,14 @@ def dense_accumulate_cm_pallas(
             pltpu.SemaphoreType.DMA,
         ],
     )
-    kernel = _dense_cm_kernel if out_dtype != jnp.float32 else (
-        lambda r, we, wo, gr, z, o, acc, a0, sem: _dense_cm_kernel(
-            r, we, wo, gr, z, o, acc, None, a0, sem
+    if out_dtype != jnp.float32:
+        kernel = functools.partial(_dense_cm_kernel, g_sub=g_sub)
+    else:
+        kernel = (
+            lambda r, we, wo, gr, z, o, acc, a0, sem: _dense_cm_kernel(
+                r, we, wo, gr, z, o, acc, None, a0, sem, g_sub=g_sub
+            )
         )
-    )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -217,7 +246,7 @@ def dense_accumulate_cm_pallas(
         interpret=interpret,
         input_output_aliases={4: 0},
     )(
-        rows.reshape(nb, block // 128, 128),
+        rows.reshape(nb, step // 128, 128),
         w8[0::2].astype(jnp.float32),
         w8[1::2].astype(jnp.float32),
         g.astype(jnp.float32),

@@ -49,19 +49,31 @@ def _make_kernel(bw: int, c: int, rp: int, slow_path: bool):
 
         def serve_pair(win_a, win_b, loc):
             """dz0 + dz1 gathers of ``loc`` from the (win_a, win_b)
-            double window -> ([4C, bs], [4C, bs])."""
+            double window -> ([4C, bs], [4C, bs]).
+
+            Only the dz = 0 one-hots are BUILT (the [bw, bs] compare +
+            cast is the kernel's dominant VPU cost): dz = 1 reads
+            row + 1, which equals serving the SAME one-hot from the
+            windows shifted left one lane — a [4C, bw] shuffle, ~8x
+            smaller than a second one-hot pair."""
             iota_w = jax.lax.broadcasted_iota(jnp.int32, (bw, bs), 0)
+            oh_a = (iota_w == loc[None, :]).astype(jnp.bfloat16)
+            oh_b = (iota_w == (loc[None, :] - bw)).astype(jnp.bfloat16)
+            # row + 1 windows: win_a loses row 0 and gains win_b's row 0;
+            # win_b's new last lane (row 2 bw) is never read (served locs
+            # satisfy loc + 1 <= 2 bw - 2)
+            win_a1 = jnp.concatenate([win_a[:, 1:], win_b[:, :1]], axis=1)
+            win_b1 = jnp.concatenate(
+                [win_b[:, 1:], jnp.zeros_like(win_b[:, :1])], axis=1
+            )
             outs = []
-            for d in (0, 1):
-                ld = loc + d
-                oh_a = (iota_w == ld[None, :]).astype(jnp.bfloat16)
-                oh_b = (iota_w == (ld[None, :] - bw)).astype(jnp.bfloat16)
+            for wa, wb in ((win_a, win_b), (win_a1, win_b1)):
                 outs.append(
                     jax.lax.dot_general(
-                        win_a, oh_a, (((1,), (0,)), ((), ())),
+                        wa, oh_a, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     ) + jax.lax.dot_general(
-                        win_b, oh_b, (((1,), (0,)), ((), ())),
+                        wb, oh_b, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
                 )
@@ -95,13 +107,18 @@ def _make_kernel(bw: int, c: int, rp: int, slow_path: bool):
                     loc = jnp.where(serve, local2, -2)
                     iota2 = jax.lax.broadcasted_iota(
                         jnp.int32, (2 * bw, bs), 0)
+                    # one one-hot; dz = 1 via the lane-shifted window
+                    # (see serve_pair) — max served loc + 1 = 2 bw - 2,
+                    # so the shifted window's zero last lane is unread
+                    oh = (iota2 == loc[None, :]).astype(jnp.bfloat16)
+                    scr = scratch[:]
+                    scr1 = jnp.concatenate(
+                        [scr[:, 1:], jnp.zeros_like(scr[:, :1])], axis=1
+                    )
                     contribs = []
-                    for d in (0, 1):
-                        oh = (iota2 == (loc + d)[None, :]).astype(
-                            jnp.bfloat16
-                        )
+                    for src in (scr, scr1):
                         contribs.append(jax.lax.dot_general(
-                            scratch[:], oh, (((1,), (0,)), ((), ())),
+                            src, oh, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
                         ))
                     return (
