@@ -105,6 +105,12 @@ class SDFModelConfig:
     # path; the per-sample pipeline runs in grid-row order and only
     # scalar channels cross back for the transmittance scan.
     engine: str = "lattice"
+    # pack the sorted engine's per-sample fracs + viewdirs into u32
+    # 16-bit pairs for the main stream sort (8 -> 5 sort operands;
+    # lax.sort prices per payload column).  Positions quantize to
+    # 1/65535 of a voxel and directions to ~3e-5 — deterministic, and
+    # the backward differentiates the quantized forward exactly.
+    sort_pack16: bool = True
     # Field representation for k0 (`model/grid.py:27-33` create_grid):
     # 'dense' (the reference's only configured choice) or 'tensorf'
     # (VM decomposition, `model/grid.py:136-247`) — factored params,
@@ -991,6 +997,7 @@ def _shade_coarse_cm(params, cfg: SDFModelConfig, rays_xyz, vd, normal, k0):
     widths_ok = all(
         params["refnet"][f"w{i}"].shape[1] % 8 == 0 for i in range(n_w - 1)
     )
+    shade_bs = 2048 if m % 2048 == 0 else 1024
     if cfg.mlp_bf16 and widths_ok and m % 1024 == 0:
         # fully fused shading head (ops/pallas/fused_mlp_cm.py): sincos
         # encodings computed IN KERNEL from the raw 24-row inputs, all
@@ -1006,7 +1013,7 @@ def _shade_coarse_cm(params, cfg: SDFModelConfig, rays_xyz, vd, normal, k0):
             jnp.stack(normal, axis=0),
             jnp.stack(vd, axis=0) if cfg.use_viewdir else None,
             weights, biases,
-            cfg.posbase_pe, cfg.refbase_pe, cfg.viewbase_pe, 1024,
+            cfg.posbase_pe, cfg.refbase_pe, cfg.viewbase_pe, shade_bs,
         )
     else:
         pos_f = freq_bank(cfg.posbase_pe)
@@ -1095,8 +1102,8 @@ def forward_fine_sorted(
     from fgs_nerf_tpu.ops.sdf2alpha import neus_alpha_from_cos
     from fgs_nerf_tpu.ops.sorted_cm import (
         corner_weights_cm, pack_gather_sorted_cm, padded_rows_cm,
-        rows_fracs_cm, rows_to_coords_cm, tap_bounds, tap_deltas_weights,
-        tap_gather_sorted_cm, unsort_channels,
+        rows_fracs_cm, rows_to_coords_cm, sort_stream, tap_bounds,
+        tap_deltas_weights, tap_gather_sorted_cm, unsort_channels,
     )
     from fgs_nerf_tpu.ops.stencils import sdf_gradient_cm
 
@@ -1169,14 +1176,9 @@ def forward_fine_sorted(
     vdx = jnp.broadcast_to(viewdirs[:, 0:1], vshape).reshape(m)
     vdy = jnp.broadcast_to(viewdirs[:, 1:2], vshape).reshape(m)
     vdz = jnp.broadcast_to(viewdirs[:, 2:3], vshape).reshape(m)
-    keys_s, iota_s, fx_s, fy_s, fz_s, vx_s, vy_s, vz_s = (
-        jax.lax.stop_gradient(
-            jax.lax.sort(
-                (keys, iota, fx.reshape(m), fy.reshape(m), fz.reshape(m),
-                 vdx, vdy, vdz),
-                dimension=0, num_keys=1,
-            )
-        )
+    keys_s, iota_s, fx_s, fy_s, fz_s, vx_s, vy_s, vz_s = sort_stream(
+        keys, iota, fx.reshape(m), fy.reshape(m), fz.reshape(m),
+        vdx, vdy, vdz, pack16=cfg.sort_pack16,
     )
     # sparse-stream block size: the serve's one-hot volume is
     # row-span x bs x one-hots, and the fine lattice at >=128^3 is a
@@ -1459,7 +1461,7 @@ def forward_coarse_sorted(
     from fgs_nerf_tpu.ops.sdf2alpha import neus_alpha_from_cos
     from fgs_nerf_tpu.ops.sorted_cm import (
         corner_weights_cm, pack_gather_sorted_cm, padded_rows_cm,
-        rows_fracs_cm, rows_to_coords_cm, unsort_channels,
+        rows_fracs_cm, rows_to_coords_cm, sort_stream, unsort_channels,
     )
     from fgs_nerf_tpu.ops.stencils import sdf_gradient_cm
 
@@ -1543,14 +1545,9 @@ def forward_coarse_sorted(
     vdx = jnp.broadcast_to(viewdirs[:, 0:1], vshape).reshape(m)
     vdy = jnp.broadcast_to(viewdirs[:, 1:2], vshape).reshape(m)
     vdz = jnp.broadcast_to(viewdirs[:, 2:3], vshape).reshape(m)
-    keys_s, iota_s, fx_s, fy_s, fz_s, vx_s, vy_s, vz_s = (
-        jax.lax.stop_gradient(
-            jax.lax.sort(
-                (keys, iota, fx.reshape(m), fy.reshape(m), fz.reshape(m),
-                 vdx, vdy, vdz),
-                dimension=0, num_keys=1,
-            )
-        )
+    keys_s, iota_s, fx_s, fy_s, fz_s, vx_s, vy_s, vz_s = sort_stream(
+        keys, iota, fx.reshape(m), fy.reshape(m), fz.reshape(m),
+        vdx, vdy, vdz, pack16=cfg.sort_pack16,
     )
     w8_s = corner_weights_cm(fx_s, fy_s, fz_s)  # [8, M]
 

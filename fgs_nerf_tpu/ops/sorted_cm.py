@@ -87,6 +87,55 @@ def rows_to_coords_cm(rows: jnp.ndarray, grid_shape3):
     )
 
 
+def pack16_pair(a, b) -> jnp.ndarray:
+    """Two f32 in [0, 1] -> one u32 sort payload (16-bit fixed point
+    each; max quantization error 0.5/65535 ~ 7.6e-6).
+
+    Sort cost prices per payload COLUMN, so carrying (fx, fy) as one
+    u32 instead of two f32 removes a column from the main stream sort.
+    The quantization is deterministic and identical on every device
+    (dp-bitwise parity holds); the engine then computes the EXACT
+    gradient of the quantized-position forward, so fwd/bwd stay
+    self-consistent."""
+    qa = jnp.round(a * 65535.0).astype(jnp.uint32)
+    qb = jnp.round(b * 65535.0).astype(jnp.uint32)
+    return (qa << 16) | qb
+
+
+def unpack16_pair(q):
+    """Inverse of ``pack16_pair`` -> two f32 in [0, 1]."""
+    a = (q >> 16).astype(jnp.float32) * (1.0 / 65535.0)
+    b = (q & jnp.uint32(0xFFFF)).astype(jnp.float32) * (1.0 / 65535.0)
+    return a, b
+
+
+def sort_stream(keys, iota, fx, fy, fz, vdx, vdy, vdz, pack16=True):
+    """The engine's main stream sort: stable by grid row, carrying the
+    per-sample fracs + viewdirs.  With ``pack16`` the six f32 payloads
+    ride as three u32 16-bit pairs (5 sort operands instead of 8 —
+    lax.sort prices per payload column); positions quantize to 1/65535
+    of a voxel, directions to ~3e-5.  Returns
+    (keys_s, iota_s, fx_s, fy_s, fz_s, vx_s, vy_s, vz_s)."""
+    if not pack16:
+        return jax.lax.stop_gradient(
+            jax.lax.sort(
+                (keys, iota, fx, fy, fz, vdx, vdy, vdz),
+                dimension=0, num_keys=1,
+            )
+        )
+    qa = pack16_pair(fx, fy)
+    qb = pack16_pair(fz, (vdx + 1.0) * 0.5)
+    qc = pack16_pair((vdy + 1.0) * 0.5, (vdz + 1.0) * 0.5)
+    keys_s, iota_s, qa_s, qb_s, qc_s = jax.lax.stop_gradient(
+        jax.lax.sort((keys, iota, qa, qb, qc), dimension=0, num_keys=1)
+    )
+    fx_s, fy_s = unpack16_pair(qa_s)
+    fz_s, vh1 = unpack16_pair(qb_s)
+    vh2, vh3 = unpack16_pair(qc_s)
+    return (keys_s, iota_s, fx_s, fy_s, fz_s,
+            vh1 * 2.0 - 1.0, vh2 * 2.0 - 1.0, vh3 * 2.0 - 1.0)
+
+
 def corner_weights_cm(fx, fy, fz) -> jnp.ndarray:
     """Trilinear corner weights [8, M], corner k = dx*4 + dy*2 + dz."""
     parts = []
